@@ -1,0 +1,3 @@
+"""Inference engines: Power-EP, infinite-horizon EP, global iterated EKF."""
+
+from nsgp_tpu.inference import ep, giekf, ihgp  # noqa: F401

@@ -47,6 +47,9 @@ class EPConfig(NamedTuple):
     moment_chunk: int = 4096
     parallel: bool = False  # use associative-scan passes for sweeps >= 2
     jitter: float = 0.0  # smoother pseudo-prediction ridge
+    channel_axis: str = ""  # mesh axis name to shard the channel dim over
+    # (requires an ambient mesh via jax.sharding.set_mesh; see
+    # nsgp_tpu.parallel.mesh.shard_inference_over_channels)
 
     def damp(self, itt: int) -> float:
         if len(self.damping) == 0:
@@ -113,6 +116,29 @@ def _ep_resite(
     return Sites(ttau, tnu), lZ
 
 
+def _constrain_channel(ssm, sites: Sites, axis: str):
+    """Seed GSPMD with channel-axis shardings (no-op if axis is empty).
+
+    One constraint on each channel-stacked array is enough: the filter/
+    smoother algebra is elementwise over C so the sharding propagates through
+    the scans; moment-matching reductions over channels become psums.
+    """
+    if not axis:
+        return ssm, sites
+    from jax.sharding import PartitionSpec as P
+
+    wsc = jax.lax.with_sharding_constraint
+    c = lambda x: wsc(x, P(axis, *([None] * (x.ndim - 1))))
+    ssm = ssm._replace(
+        F=c(ssm.F), LQcLT=c(ssm.LQcLT), H=c(ssm.H), Pinf=c(ssm.Pinf),
+        A=c(ssm.A), Q=c(ssm.Q), pad_eye=c(ssm.pad_eye),
+    )
+    sites = Sites(
+        wsc(sites.ttau, P(None, axis)), wsc(sites.tnu, P(None, axis))
+    )
+    return ssm, sites
+
+
 def _forward_backward(ssm, sites, cfg: EPConfig):
     """Filter with fixed sites + RTS smooth; sequential or parallel-in-time."""
     if cfg.parallel:
@@ -147,6 +173,7 @@ def ep_infer(
     C = ssm.num_channels
     dtype = ssm.A.dtype
     sites = kalman.init_sites(T, C, dtype)
+    ssm, sites = _constrain_channel(ssm, sites, config.channel_axis)
     mom_fn = _mom_point(model, params)
 
     nlZ = jnp.zeros((config.ep_itts,), dtype)
@@ -163,6 +190,11 @@ def ep_infer(
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
             ms, Ps = kalman.rts_smoother(ssm, fr, jitter=config.jitter)
+        elif config.parallel:
+            # Linear-Gaussian pass with fixed sites: O(log T) depth via
+            # associative scans.  Skips the reference's last-step forward
+            # re-match quirk (same EP fixed point, slightly different path).
+            ms, Ps = _forward_backward(ssm, sites, config)
         else:
             # Reference quirk: later forward passes still re-match the site
             # at the very last step (itt == 1 || k == numel(yall) branch).
@@ -204,6 +236,7 @@ def ep_energy(
     T = y.shape[0]
     ssm = model.build_ssm(params)
     sites = kalman.init_sites(T, ssm.num_channels, ssm.A.dtype)
+    ssm, sites = _constrain_channel(ssm, sites, config.channel_axis)
     mom_fn = _mom_point(model, params)
 
     # Sweep 1: ADF — this is the lZ if ep_itts == 1.

@@ -1,0 +1,233 @@
+"""Global iterated EKF inference for the GT-NMF model.
+
+TPU-native re-design of gf_giekf_modulator_nmf.m / _constraints.m /
+ekf_update1.m / iekf_update1.m.
+
+Unlike the EP engines, the EKF linearizes the single *scalar* observation
+h(x) = (H_z x)' W link(H_g x), which couples every channel — the posterior
+covariance is dense.  We therefore materialize the dense joint model
+(block-diagonal assembly with inert padded dims; state dim m = C * bs) and
+run dense (m x m) recursions under ``lax.scan`` — m <= ~100, so each step is
+small-matrix MXU work.
+
+Reference semantics replicated:
+- ``l_iter`` inner IEKF re-linearizations per measurement update
+  (iekf_update1.m:110-117),
+- ``g_iter`` outer/global passes: pass s >= 2 re-linearizes each update
+  around the *smoothed* trajectory from pass s-1 (gf_giekf_modulator_nmf.m
+  filter/smoother outer loop),
+- energy = sum of innovation negative log-likelihoods.  The reference
+  hand-rolls a 140-line sensitivity-equation gradient
+  (gf_giekf_modulator_nmf.m:294-439); we get exact gradients by autodiff
+  through the filter instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams
+from nsgp_tpu.ops.moments import LINKS
+from nsgp_tpu.ops.ssm import BlockSSM
+
+
+class GIEKFConfig(NamedTuple):
+    g_iter: int = 3  # global (filter+smoother) passes
+    l_iter: int = 5  # inner IEKF iterations per update (iekf_update1 default)
+    jitter: float = 1e-9
+
+
+class GIEKFResult(NamedTuple):
+    Eft: jax.Array  # (T, C) smoothed observable means
+    Varft: jax.Array  # (T, C) smoothed observable variances
+    ms: jax.Array  # (T, m) smoothed dense state means
+    Ps: jax.Array  # (T, m, m) smoothed dense covariances
+    nll: jax.Array  # () innovation NLL of the final filter pass
+
+
+def dense_model(ssm: BlockSSM):
+    """Jittable dense joint (A, Q, Pinf, Hd) with inert padded dims.
+
+    Hd is (C, m): one observable row per channel (padded dims stay zero, so
+    they never enter the measurement)."""
+    C, bs = ssm.A.shape[0], ssm.A.shape[-1]
+    m = C * bs
+
+    def bd(blocks):  # (C, bs, bs) -> (m, m) block diagonal
+        out = jnp.zeros((m, m), blocks.dtype)
+        idx = jnp.arange(C) * bs
+
+        def place(out, c):
+            return jax.lax.dynamic_update_slice(out, blocks[c], (idx[c], idx[c]))
+
+        return jax.lax.fori_loop(0, C, lambda c, o: place(o, c), out)
+
+    A = bd(ssm.A)
+    Q = bd(ssm.Q)
+    Pinf = bd(ssm.Pinf)
+    Hd = (jnp.eye(C, dtype=ssm.H.dtype)[:, :, None] * ssm.H[None]).reshape(C, m)
+    return A, Q, Pinf, Hd
+
+
+def _measurement(model: GTNMFModel, W: jax.Array, f: jax.Array):
+    """Scalar measurement and its gradient w.r.t. the observables f (C,).
+
+    h = z' a(g);  'amp': a = W link(g);  'sq': a = sqrt(W link(g))
+    (ref funh/funhd, gf_giekf_modulator_nmf.m:444-473, link at :97-99)."""
+    D = model.D
+    link = LINKS[model.link]
+    z, g = f[:D], f[D:]
+    lg = link(g)
+    Wl = W @ lg  # (D,)
+    if model.variant == "sq":
+        a = jnp.sqrt(jnp.maximum(Wl, 1e-12))
+        da_dg = (W * jax.grad(lambda x: jnp.sum(link(x)))(g)[None, :]) / (
+            2.0 * a[:, None]
+        )
+    else:
+        a = Wl
+        da_dg = W * jax.grad(lambda x: jnp.sum(link(x)))(g)[None, :]
+    yhat = z @ a
+    dh_dz = a  # (D,)
+    dh_dg = z @ da_dg  # (N,)
+    return yhat, jnp.concatenate([dh_dz, dh_dg])
+
+
+def _filter(model, W, sn2, A, Q, Pinf, Hd, y, mask, lin_ref, use_ref, cfg):
+    """One EKF/IEKF forward pass.  ``lin_ref`` (T, m) are linearization
+    states (smoothed means from the previous global pass); ``use_ref`` gates
+    whether to initialize the IEKF at them."""
+    m_dim = A.shape[0]
+    dt_ = A.dtype
+
+    def step(carry, inp):
+        mx, P, first = carry
+        y_k, obs_k, ref_k = inp
+        mx, P = jax.lax.cond(
+            first,
+            lambda: (mx, P),
+            lambda: (A @ mx, A @ P @ A.T + Q),
+        )
+        P = 0.5 * (P + P.T)
+
+        eta0 = jnp.where(use_ref, ref_k, mx)
+
+        def iekf_body(i, eta):
+            f = Hd @ eta
+            yhat, dh = _measurement(model, W, f)
+            J = dh @ Hd  # (m,)
+            PJ = P @ J
+            S = J @ PJ + sn2
+            K = PJ / S
+            resid = y_k - yhat - J @ (mx - eta)
+            return mx + K * resid
+
+        eta = jax.lax.fori_loop(0, cfg.l_iter, iekf_body, eta0)
+        # Final linearization at eta for the covariance update + NLL.
+        f = Hd @ eta
+        yhat, dh = _measurement(model, W, f)
+        J = dh @ Hd
+        PJ = P @ J
+        S = J @ PJ + sn2
+        K = PJ / S
+        m_upd = mx + K * (y_k - yhat - J @ (mx - eta))
+        P_upd = P - jnp.outer(K, PJ)
+        P_upd = 0.5 * (P_upd + P_upd.T)
+        nll_k = 0.5 * (jnp.log(2.0 * jnp.pi * S) + (y_k - yhat - J @ (mx - eta)) ** 2 / S)
+
+        mx = jnp.where(obs_k, m_upd, mx)
+        P = jnp.where(obs_k, P_upd, P)
+        nll_k = jnp.where(obs_k, nll_k, 0.0)
+        return (mx, P, jnp.zeros_like(first)), (mx, P, nll_k)
+
+    m0 = jnp.zeros((m_dim,), dt_)
+    (mT, PT, _), (ms, Ps, nll) = jax.lax.scan(
+        step, (m0, Pinf, jnp.asarray(True)), (y, mask, lin_ref)
+    )
+    return ms, Ps, jnp.sum(nll)
+
+
+def _rts_dense(A, Q, ms, Ps, jitter):
+    m_dim = A.shape[0]
+    eye = jnp.eye(m_dim, dtype=A.dtype)
+
+    def step(carry, inp):
+        m_next, P_next = carry
+        ms_k, Ps_k = inp
+        Pp = A @ Ps_k @ A.T + Q + jitter * eye
+        G = jnp.linalg.solve(Pp.T, (Ps_k @ A.T).T).T
+        m = ms_k + G @ (m_next - A @ ms_k)
+        P = Ps_k + G @ (P_next - Pp) @ G.T
+        P = 0.5 * (P + P.T)
+        return (m, P), (m, P)
+
+    (_, _), (ms_r, Ps_r) = jax.lax.scan(
+        step, (ms[-1], Ps[-1]), (ms[:-1], Ps[:-1]), reverse=True
+    )
+    return (
+        jnp.concatenate([ms_r, ms[-1:]], axis=0),
+        jnp.concatenate([Ps_r, Ps[-1:]], axis=0),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def giekf_infer(
+    model: GTNMFModel,
+    params: GTNMFParams,
+    y: jax.Array,
+    mask: Optional[jax.Array] = None,
+    config: GIEKFConfig = GIEKFConfig(),
+) -> GIEKFResult:
+    """Global-IEKF posterior inference (prediction mode of the reference)."""
+    if mask is None:
+        mask = ~jnp.isnan(y)
+    y = jnp.nan_to_num(y)
+    T = y.shape[0]
+    ssm = model.build_ssm(params)
+    A, Q, Pinf, Hd = dense_model(ssm)
+    m_dim = A.shape[0]
+    sn2 = params.lik
+
+    lin_ref = jnp.zeros((T, m_dim), A.dtype)
+    use_ref = jnp.asarray(False)
+    ms = Ps = None
+    nll = jnp.zeros((), A.dtype)
+    for g in range(config.g_iter):
+        msf, Psf, nll = _filter(
+            model, params.W, sn2, A, Q, Pinf, Hd, y, mask, lin_ref, use_ref, config
+        )
+        ms, Ps = _rts_dense(A, Q, msf, Psf, config.jitter)
+        lin_ref, use_ref = ms, jnp.asarray(True)
+
+    Eft = ms @ Hd.T  # (T, C)
+    Varft = jnp.einsum("ci,tij,cj->tc", Hd, Ps, Hd)
+    return GIEKFResult(Eft=Eft, Varft=Varft, ms=ms, Ps=Ps, nll=nll)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def giekf_energy(
+    model: GTNMFModel,
+    params: GTNMFParams,
+    y: jax.Array,
+    mask: Optional[jax.Array] = None,
+    config: GIEKFConfig = GIEKFConfig(),
+) -> jax.Array:
+    """Innovation NLL (energy mode).  Exact gradients via autodiff — replaces
+    the reference's hand-rolled sensitivity recursion
+    (gf_giekf_modulator_nmf.m:294-439)."""
+    if mask is None:
+        mask = ~jnp.isnan(y)
+    y = jnp.nan_to_num(y)
+    ssm = model.build_ssm(params)
+    A, Q, Pinf, Hd = dense_model(ssm)
+    T = y.shape[0]
+    lin_ref = jnp.zeros((T, A.shape[0]), A.dtype)
+    _, _, nll = _filter(
+        model, params.W, params.lik, A, Q, Pinf, Hd, y, mask, lin_ref,
+        jnp.asarray(False), config,
+    )
+    return nll

@@ -1,0 +1,3 @@
+"""Model families: GT-NMF (NMF-modulated spectral mixture GPs), mixtures."""
+
+from nsgp_tpu.models import gtnmf  # noqa: F401

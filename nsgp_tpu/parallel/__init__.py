@@ -1,0 +1,3 @@
+"""Device-mesh parallelism (data / channel / chain axes)."""
+
+from nsgp_tpu.parallel import mesh  # noqa: F401

@@ -1,0 +1,186 @@
+"""Probabilistic filterbank fitting: spectral-mixture components by Whittle ML.
+
+TPU-native re-design of fit_probSTFT_SD.m + get_Obj_pSTFT_*.m +
+welchMethod.m.  Fits D spectral-mixture components — each a (Matern-family
+kernel x cosine) subband with magnitude sigma2_d, bandwidth lambda_d and
+center frequency omega_d — to the signal's Welch periodogram by minimizing
+the Itakura-Saito / Whittle objective
+
+    Obj = sum_k [ log S_model(w_k) + S_target(w_k) / S_model(w_k) ]
+
+(ref get_Obj_pSTFT_all.m:240-247), with a coarse-to-fine annealing of the
+Welch window (fit_probSTFT_SD.m:257-299).
+
+Departures from the reference: component spectra are evaluated *analytically*
+(the Matern spectral density shifted to +-omega) instead of through the SDE
+transfer function |H (F - iwI)^{-1} L|^2 Qc — identical values, no complex
+solves; optimization is Adam/L-BFGS on log/logit-unconstrained parameters
+with exact autodiff gradients instead of Rasmussen CG with hand-coded ones.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def welch(y: jax.Array, nwin: int, overlap: float = 0.5):
+    """Chunked averaged periodogram on [0, pi) (ref welchMethod.m:44-60).
+
+    Returns (omega (nwin//2,), spec (nwin//2,)) with omega in rad/sample.
+    """
+    T = y.shape[0]
+    hop = max(1, int(nwin * (1.0 - overlap)))
+    nchunk = max(1, (T - nwin) // hop + 1)
+    idx = jnp.arange(nwin)[None, :] + hop * jnp.arange(nchunk)[:, None]
+    frames = y[jnp.clip(idx, 0, T - 1)]
+    win = jnp.hanning(nwin).astype(y.dtype)
+    frames = frames * win[None, :]
+    scale = jnp.sum(win**2)
+    ps = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2 / scale
+    spec = jnp.mean(ps, axis=0)[: nwin // 2]
+    omega = jnp.arange(nwin // 2) * (2.0 * jnp.pi / nwin)
+    return omega, spec
+
+
+# Matern spectral densities S(w) for lengthscale-parameterized kernels,
+# normalized so that integral S dw / (2 pi) = sigma2.
+def _matern_spec(nu_name: str, sigma2, lam, w):
+    """lam is the SDE rate (1/ell scaled): exp: 1/ell, m32: sqrt(3)/ell,
+    m52: sqrt(5)/ell."""
+    if nu_name in ("exp", "matern12"):
+        return 2.0 * sigma2 * lam / (lam**2 + w**2)
+    if nu_name == "matern32":
+        return 4.0 * sigma2 * lam**3 / (lam**2 + w**2) ** 2
+    if nu_name == "matern52":
+        return (16.0 / 3.0) * sigma2 * lam**5 / (lam**2 + w**2) ** 3
+    raise ValueError(f"no analytic spectrum for kernel {nu_name!r}")
+
+
+LAM_SCALE = {"exp": 1.0, "matern12": 1.0, "matern32": np.sqrt(3.0),
+             "matern52": np.sqrt(5.0)}
+
+
+def mixture_spectrum(kernel: str, sigma2, lam, omega0, w):
+    """Spectral-mixture spectrum: 0.5 * [S(w - w0) + S(w + w0)] per channel,
+    summed over channels.  Shapes: params (D,), w (F,) -> (F,)."""
+    Sm = lambda wq: _matern_spec(kernel, sigma2[None, :], lam[None, :], wq)
+    dw_minus = w[:, None] - omega0[None, :]
+    dw_plus = w[:, None] + omega0[None, :]
+    S = 0.5 * (Sm(dw_minus) + Sm(dw_plus))  # (F, D)
+    return jnp.sum(S, axis=-1)
+
+
+class FilterbankFit(NamedTuple):
+    sigma2: jax.Array  # (D,) component variances
+    lam: jax.Array  # (D,) SDE bandwidth rates
+    omega: jax.Array  # (D,) center frequencies (rad/sample)
+    noise: jax.Array  # () broadband noise floor
+    obj: jax.Array  # final objective value
+
+    def lengthscales(self, kernel: str) -> jax.Array:
+        """Convert rates back to kernel lengthscales (ref lambda_map.m)."""
+        return LAM_SCALE[kernel] / self.lam
+
+
+def _whittle_obj(kernel, log_params, w, target, beta):
+    D = (log_params.shape[0] - 1) // 3
+    sigma2 = jnp.exp(log_params[:D])
+    lam = jnp.exp(log_params[D : 2 * D])
+    # omega constrained to (0, pi) by a scaled sigmoid (ref sigmoid.m usage)
+    omega0 = jnp.pi * jax.nn.sigmoid(log_params[2 * D : 3 * D])
+    noise = jnp.exp(log_params[-1])
+    S = mixture_spectrum(kernel, sigma2, lam, omega0, w) + noise
+    obj = jnp.sum(jnp.log(S) + target / S)
+    # shrinkage on component variances (ref get_Obj_pSTFT_all.m beta term)
+    return obj + beta * jnp.sum(sigma2)
+
+
+def fit_probstft(
+    y,
+    D: int,
+    kernel: str = "exp",
+    num_levels: int = 4,
+    min_win: int = 256,
+    max_win: int = 4096,
+    steps_per_level: int = 400,
+    lr: float = 3e-2,
+    beta: float = 0.0,
+    seed: int = 0,
+    init: FilterbankFit | None = None,
+) -> FilterbankFit:
+    """Coarse-to-fine Whittle fit of a D-component probabilistic filterbank.
+
+    Equivalent of fit_probSTFT_SD(y, D, kernel, opts): anneal the Welch
+    window from min_win to max_win over num_levels, re-optimizing at each
+    level; initialize centers uniformly over (0, pi) and bandwidths from the
+    window scale (ref fit_probSTFT_SD.m:200-250 init heuristics).
+    """
+    import optax
+
+    y = jnp.asarray(y)
+    dt_ = y.dtype
+    var_y = jnp.var(y)
+
+    if init is None:
+        omega_init = (np.arange(D) + 0.5) / D * np.pi
+        # logit of omega/pi
+        uo = np.log(omega_init / np.pi) - np.log1p(-omega_init / np.pi)
+        log_params = jnp.concatenate(
+            [
+                jnp.log(jnp.full((D,), var_y / D)),
+                jnp.full((D,), jnp.log(2.0 * jnp.pi / max_win * 4.0)).astype(dt_),
+                jnp.asarray(uo, dt_),
+                jnp.log(jnp.asarray([var_y * 0.1], dt_)),
+            ]
+        )
+    else:
+        w0 = jnp.clip(init.omega / jnp.pi, 1e-4, 1 - 1e-4)
+        log_params = jnp.concatenate(
+            [jnp.log(init.sigma2), jnp.log(init.lam),
+             jnp.log(w0) - jnp.log1p(-w0), jnp.log(init.noise[None])]
+        )
+
+    wins = np.unique(
+        np.geomspace(min_win, max_win, num_levels).astype(int) // 2 * 2
+    )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def optimize(log_params, data, nsteps):
+        w, target = data
+        opt = optax.adam(lr)
+        state = opt.init(log_params)
+
+        def body(carry, _):
+            p, s = carry
+            val, g = jax.value_and_grad(
+                lambda pp: _whittle_obj(kernel, pp, w, target, beta)
+            )(p)
+            upd, s = opt.update(g, s)
+            return (optax.apply_updates(p, upd), s), val
+
+        (log_params, _), vals = jax.lax.scan(
+            body, (log_params, state), None, length=nsteps
+        )
+        return log_params, vals[-1]
+
+    obj = jnp.asarray(0.0, dt_)
+    for nwin in wins:
+        w, target = welch(y, int(nwin))
+        # drop DC
+        log_params, obj = optimize(log_params, (w[1:], target[1:]),
+                                   steps_per_level)
+
+    sigma2 = jnp.exp(log_params[:D])
+    lam = jnp.exp(log_params[D : 2 * D])
+    omega0 = jnp.pi * jax.nn.sigmoid(log_params[2 * D : 3 * D])
+    noise = jnp.exp(log_params[-1])
+    order = jnp.argsort(omega0)
+    return FilterbankFit(
+        sigma2=sigma2[order], lam=lam[order], omega=omega0[order],
+        noise=noise, obj=obj,
+    )

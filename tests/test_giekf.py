@@ -1,0 +1,95 @@
+"""GIEKF engine: dense assembly, engine-vs-EP consistency, autodiff energy.
+
+Mirrors the reference's de-facto test (synthetic_data_experiment.m:242-253):
+sample from the prior, infer at true params with multiple engines, require
+agreement.
+"""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.inference import ep, giekf
+from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams, sample_prior
+from nsgp_tpu.ops.ssm import dense as dense_np
+
+
+def _toy(D=3, N=2):
+    model = GTNMFModel(D=D, N=N, kernel1="matern32", kernel2="matern52",
+                       p_cubature=7)
+    key = jax.random.PRNGKey(0)
+    params = GTNMFParams(
+        lik=jnp.asarray(0.05),
+        sub_var=jnp.linspace(0.5, 1.5, D),
+        sub_len=jnp.linspace(30.0, 90.0, D),
+        omega=jnp.linspace(0.2, 1.2, D),
+        mod_var=jnp.full((N,), 1.5),
+        mod_len=jnp.linspace(300.0, 500.0, N),
+        W=jax.random.uniform(key, (D, N), minval=0.2, maxval=1.0),
+    )
+    return model, params
+
+
+def test_dense_model_matches_numpy_assembly():
+    model, params = _toy()
+    ssm = model.build_ssm(params)
+    A, Q, Pinf, Hd = giekf.dense_model(ssm)
+    # numpy oracle drops padded dims; the jax version keeps inert ones.
+    Fd, Href, Pd, Ad, Qd = dense_np(ssm)
+    # Check observable projections agree: H A H' etc. (padded dims are inert)
+    np.testing.assert_allclose(
+        np.asarray(Hd @ A @ Hd.T), Href @ Ad @ Href.T, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(Hd @ Pinf @ Hd.T), Href @ Pd @ Href.T, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(Hd @ Q @ Hd.T), Href @ Qd @ Href.T, atol=1e-12
+    )
+
+
+def test_measurement_gradient_matches_autodiff():
+    model, params = _toy()
+    f = jnp.asarray(np.random.default_rng(2).normal(size=5))
+    yhat, dh = giekf._measurement(model, params.W, f)
+    dh_ad = jax.grad(lambda ff: giekf._measurement(model, params.W, ff)[0])(f)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ad), atol=1e-10)
+
+
+def test_giekf_tracks_ep_posterior():
+    model, params = _toy()
+    y, sub, g = sample_prior(jax.random.PRNGKey(11), model, params, T=500)
+
+    res_ep = ep.ep_infer(model, params, y, None, ep.EPConfig(ep_itts=4))
+    res_kf = giekf.giekf_infer(model, params, y, None,
+                               giekf.GIEKFConfig(g_iter=3, l_iter=5))
+
+    # Subband posterior means should correlate strongly between engines.
+    for c in range(model.D):
+        a = np.asarray(res_ep.Eft[:, c])
+        b = np.asarray(res_kf.Eft[:, c])
+        r = np.corrcoef(a, b)[0, 1]
+        assert r > 0.85, (c, r)
+    assert np.isfinite(float(res_kf.nll))
+
+
+def test_giekf_energy_autodiff():
+    model, params = _toy(D=2, N=2)
+    y, _, _ = sample_prior(jax.random.PRNGKey(5), model, params, T=200)
+    e = giekf.giekf_energy(model, params, y, None, giekf.GIEKFConfig())
+    assert np.isfinite(float(e))
+    grads = jax.grad(
+        lambda p: giekf.giekf_energy(model, p, y, None, giekf.GIEKFConfig())
+    )(params)
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert np.all(np.isfinite(np.asarray(flat)))
+    # Finite-difference check on the observation noise.
+    eps = 1e-6
+    p_hi = params._replace(lik=params.lik + eps)
+    p_lo = params._replace(lik=params.lik - eps)
+    fd = (
+        float(giekf.giekf_energy(model, p_hi, y, None, giekf.GIEKFConfig()))
+        - float(giekf.giekf_energy(model, p_lo, y, None, giekf.GIEKFConfig()))
+    ) / (2 * eps)
+    np.testing.assert_allclose(float(grads.lik), fd, rtol=1e-4)
