@@ -1,0 +1,114 @@
+"""Missing-data synthesis / inpainting application.
+
+TPU-native equivalent of experiments/missing_data_music.m /
+test_missing_data.m: NaN out gap regions of the signal, run any engine
+(EP / IHGP / GIEKF — zero model changes), reconstruct the signal inside the
+gaps from the posterior, report RMSE over gaps and SNR.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams
+from nsgp_tpu.utils import metrics
+
+
+def make_gap_mask(T: int, gaps: Sequence[tuple]) -> jax.Array:
+    """mask True = observed; gaps are (start, length) pairs
+    (ref missing_data_music.m: 6 gaps of 10-320 samples)."""
+    mask = jnp.ones((T,), bool)
+    for start, length in gaps:
+        mask = mask.at[start : start + length].set(False)
+    return mask
+
+
+def reconstruct_signal(
+    model: GTNMFModel,
+    params: GTNMFParams,
+    Eft: jax.Array,  # (T, C)
+    Varft: jax.Array | None = None,
+    key: jax.Array | None = None,
+    n_samples: int = 0,
+) -> jax.Array:
+    """Posterior signal estimate E[sum_d a_d z_d].
+
+    With samples (ref missing_data_music.m:170-175 uses MC through the
+    link): channel-factorized MC over the smoothed marginals; otherwise the
+    plug-in mean.
+    """
+    from nsgp_tpu.ops.moments import LINKS
+
+    D = model.D
+    link = LINKS[model.link]
+
+    def amps(g):
+        a = link(g) @ params.W.T
+        if model.variant == "sq":
+            a = jnp.sqrt(jnp.maximum(a, 1e-12))
+        return a
+
+    z_mu, g_mu = Eft[:, :D], Eft[:, D:]
+    if n_samples and Varft is not None and key is not None:
+        kz, kg = jax.random.split(key)
+        z_sd = jnp.sqrt(jnp.maximum(Varft[:, :D], 0.0))
+        g_sd = jnp.sqrt(jnp.maximum(Varft[:, D:], 0.0))
+        z = z_mu[None] + z_sd[None] * jax.random.normal(kz, (n_samples,) + z_mu.shape, z_mu.dtype)
+        g = g_mu[None] + g_sd[None] * jax.random.normal(kg, (n_samples,) + g_mu.shape, g_mu.dtype)
+        return jnp.mean(jnp.sum(z * amps(g), axis=-1), axis=0)
+    return jnp.sum(z_mu * amps(g_mu), axis=-1)
+
+
+class GapFillResult(NamedTuple):
+    y_hat: jax.Array  # (T,) reconstructed signal
+    rmse_gaps: jax.Array  # () RMSE inside the gaps
+    snr_gaps: jax.Array  # () SNR (dB) inside the gaps
+    result: object  # underlying engine result
+
+
+def fill_gaps(
+    model: GTNMFModel,
+    params: GTNMFParams,
+    y_true: jax.Array,  # clean signal (ground truth for metrics)
+    mask: jax.Array,  # True = observed
+    engine: str = "ep",
+    key: jax.Array | None = None,
+    n_samples: int = 20,
+    **engine_kwargs,
+) -> GapFillResult:
+    """Run inference with masked observations and score the reconstruction.
+
+    Ref missing_data_music.m:119-175 (engines x ep_itts sweeps).
+    """
+    y_obs = jnp.where(mask, y_true, jnp.nan)
+    if engine == "ep":
+        from nsgp_tpu.inference import ep
+
+        cfg = ep.EPConfig(**engine_kwargs) if engine_kwargs else ep.EPConfig()
+        res = ep.ep_infer(model, params, y_obs, mask, cfg)
+    elif engine == "ihgp":
+        from nsgp_tpu.inference import ihgp
+
+        cfg = ihgp.IHGPConfig(**engine_kwargs) if engine_kwargs else ihgp.IHGPConfig()
+        res = ihgp.ihgp_infer(model, params, y_obs, mask, cfg)
+    elif engine == "giekf":
+        from nsgp_tpu.inference import giekf
+
+        cfg = giekf.GIEKFConfig(**engine_kwargs) if engine_kwargs else giekf.GIEKFConfig()
+        res = giekf.giekf_infer(model, params, y_obs, mask, cfg)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    y_hat = reconstruct_signal(model, params, res.Eft, res.Varft, key, n_samples)
+    gap = ~mask
+    return GapFillResult(
+        y_hat=y_hat,
+        rmse_gaps=metrics.rmse(y_true, y_hat, gap),
+        snr_gaps=metrics.snr_db(y_true, y_hat, gap),
+        result=res,
+    )

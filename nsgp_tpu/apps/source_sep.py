@@ -1,0 +1,67 @@
+"""Source separation: joint inference over stacked pre-trained models.
+
+TPU-native equivalent of experiments/source_sep_piano.m: load J pre-trained
+GT-NMF models, stack them block-diagonally (models/mixture.py), run a
+standard engine on the mixture signal, and read off per-source posterior
+signals.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nsgp_tpu.models import mixture
+from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams
+from nsgp_tpu.utils import metrics
+
+
+class SeparationResult(NamedTuple):
+    sources: jax.Array  # (T, J) per-source signal estimates
+    snr: jax.Array | None  # (J,) SNR vs ground-truth parts, if given
+    result: object
+
+
+def separate(
+    models: Sequence[GTNMFModel],
+    params: Sequence[GTNMFParams],
+    y_mix: jax.Array,
+    engine: str = "ihgp",
+    true_sources: jax.Array | None = None,  # (T, J)
+    key: jax.Array | None = None,
+    n_samples: int = 20,
+    **engine_kwargs,
+) -> SeparationResult:
+    """Joint EP over the stacked model (ref source_sep_piano.m:50-145:
+    ihgp_ep_mods_nmf_mixture with 10 EP iters, damping 0.025)."""
+    jm, jp, slices = mixture.join_models(models, params)
+
+    if engine == "ep":
+        from nsgp_tpu.inference import ep
+
+        cfg = ep.EPConfig(**engine_kwargs) if engine_kwargs else ep.EPConfig()
+        res = ep.ep_infer(jm, jp, y_mix, None, cfg)
+    elif engine == "ihgp":
+        from nsgp_tpu.inference import ihgp
+
+        cfg = ihgp.IHGPConfig(**engine_kwargs) if engine_kwargs else ihgp.IHGPConfig()
+        res = ihgp.ihgp_infer(jm, jp, y_mix, None, cfg)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sources = mixture.source_signals(
+        jm, jp, slices, res.Eft, res.Varft, key, n_samples
+    )
+    snr = None
+    if true_sources is not None:
+        snr = jnp.stack(
+            [
+                metrics.snr_db(true_sources[:, j], sources[:, j])
+                for j in range(sources.shape[1])
+            ]
+        )
+    return SeparationResult(sources=sources, snr=snr, result=res)

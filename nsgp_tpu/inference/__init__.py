@@ -1,3 +1,3 @@
 """Inference engines: Power-EP, infinite-horizon EP, global iterated EKF."""
 
-from nsgp_tpu.inference import ep, giekf, ihgp  # noqa: F401
+from nsgp_tpu.inference import ep, giekf, hmc, ihgp, learn  # noqa: F401

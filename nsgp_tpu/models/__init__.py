@@ -1,3 +1,3 @@
 """Model families: GT-NMF (NMF-modulated spectral mixture GPs), mixtures."""
 
-from nsgp_tpu.models import gtnmf  # noqa: F401
+from nsgp_tpu.models import gtnmf, mixture  # noqa: F401

@@ -1,0 +1,3 @@
+"""Utilities: audio IO, metrics."""
+
+from nsgp_tpu.utils import audio, metrics  # noqa: F401

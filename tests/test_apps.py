@@ -1,0 +1,111 @@
+"""Application-level tests: gap filling, denoising, source separation,
+hyperlearning, HMC/VI (tiny configs — these exercise wiring + sanity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.apps import denoise, missing_data, source_sep
+from nsgp_tpu.inference import ep, hmc, learn
+from nsgp_tpu.models import mixture
+from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams, sample_prior
+
+
+def _toy(D=3, N=2, seed=0):
+    model = GTNMFModel(D=D, N=N, kernel1="matern32", kernel2="matern52",
+                       p_cubature=5)
+    key = jax.random.PRNGKey(seed)
+    params = GTNMFParams(
+        lik=jnp.asarray(0.03),
+        sub_var=jnp.linspace(0.5, 1.5, D),
+        sub_len=jnp.linspace(30.0, 90.0, D),
+        omega=jnp.linspace(0.3, 1.4, D),
+        mod_var=jnp.full((N,), 1.5),
+        mod_len=jnp.linspace(250.0, 450.0, N),
+        W=jax.random.uniform(key, (D, N), minval=0.2, maxval=1.0),
+    )
+    return model, params
+
+
+def test_gap_filling_beats_zero_baseline():
+    model, params = _toy()
+    y, _, _ = sample_prior(jax.random.PRNGKey(1), model, params, T=500)
+    mask = missing_data.make_gap_mask(500, [(100, 30), (300, 40)])
+    res = missing_data.fill_gaps(model, params, y, mask, engine="ep",
+                                 ep_itts=3)
+    gap = ~np.asarray(mask)
+    rmse_zero = np.sqrt(np.mean(np.asarray(y)[gap] ** 2))
+    assert float(res.rmse_gaps) < rmse_zero, (float(res.rmse_gaps), rmse_zero)
+    assert np.isfinite(float(res.snr_gaps))
+
+
+def test_denoising_improves_snr():
+    model, params = _toy(seed=2)
+    y, _, _ = sample_prior(jax.random.PRNGKey(3), model, params, T=500)
+    noise_var = 0.3
+    yn = y + jnp.sqrt(noise_var) * jax.random.normal(jax.random.PRNGKey(4),
+                                                     y.shape, y.dtype)
+    res = denoise.denoise(model, params, yn, noise_var, y_clean=y,
+                          engine="ep", ep_itts=3)
+    assert float(res.snr_out) > float(res.snr_in), (
+        float(res.snr_out), float(res.snr_in))
+
+
+def test_mixture_join_and_separation_shapes():
+    m1, p1 = _toy(D=2, N=1, seed=5)
+    m2, p2 = _toy(D=2, N=1, seed=6)
+    jm, jp, sl = mixture.join_models([m1, m2], [p1, p2])
+    assert jm.D == 4 and jm.N == 2
+    assert jp.W.shape == (4, 2)
+    # block-diagonal W
+    np.testing.assert_allclose(np.asarray(jp.W[:2, 1]), 0.0)
+    np.testing.assert_allclose(np.asarray(jp.W[2:, 0]), 0.0)
+
+    y1, _, _ = sample_prior(jax.random.PRNGKey(7), m1, p1, T=400)
+    y2, _, _ = sample_prior(jax.random.PRNGKey(8), m2, p2, T=400)
+    ymix = y1 + y2
+    res = source_sep.separate([m1, m2], [p1, p2], ymix, engine="ep",
+                              true_sources=jnp.stack([y1, y2], -1),
+                              ep_itts=3)
+    assert res.sources.shape == (400, 2)
+    # separated sum should track the mixture
+    tot = np.asarray(res.sources).sum(-1)
+    r = np.corrcoef(tot, np.asarray(ymix))[0, 1]
+    assert r > 0.9, r
+
+
+def test_fit_hyperparams_decreases_energy():
+    model, params = _toy(D=2, N=1, seed=9)
+    y, _, _ = sample_prior(jax.random.PRNGKey(10), model, params, T=300)
+    # perturb the params, then fit lik + mod_var only (rest fixed)
+    p0 = params._replace(lik=jnp.asarray(0.5), mod_var=params.mod_var * 3.0)
+    res = learn.fit_hyperparams(
+        model, p0, y, engine="ep",
+        specs={"sub_var": "fixed", "sub_len": "fixed", "omega": "fixed",
+               "mod_len": "fixed", "W": "fixed", "lik": (1e-4, 1.0)},
+        steps=30, learning_rate=0.1, ep_itts=1,
+    )
+    assert float(res.energies[-1]) < float(res.energies[0]), res.energies
+    # constrained lik stays in its box
+    assert 1e-4 <= float(res.params.lik) <= 1.0
+
+
+def test_hmc_and_vi_run_and_are_finite():
+    model, params = _toy(D=2, N=1, seed=11)
+    y, _, _ = sample_prior(jax.random.PRNGKey(12), model, params, T=200)
+    tf = learn.Transform({"sub_var": "fixed", "sub_len": "fixed",
+                          "omega": "fixed", "W": "fixed",
+                          "mod_len": "fixed"})
+    energy = learn.make_energy_fn(model, y, engine="ep", ep_itts=1)
+    log_post = hmc.make_log_post(energy, tf, params)
+    u0 = tf.to_unconstrained(params)
+
+    res = hmc.hmc_sample(jax.random.PRNGKey(13), log_post, u0,
+                         hmc.HMCConfig(n_samples=5, n_warmup=5, n_leapfrog=3),
+                         n_chains=2)
+    assert res.samples.shape[0] == 2 and res.samples.shape[1] == 5
+    assert np.all(np.isfinite(np.asarray(res.samples)))
+
+    vi = hmc.vi_fit(jax.random.PRNGKey(14), log_post, u0, steps=20, n_mc=2)
+    assert np.all(np.isfinite(np.asarray(vi.mean)))
+    assert np.all(np.isfinite(np.asarray(vi.elbo_trace[-1])))

@@ -1,0 +1,108 @@
+"""Pre-training pipeline: recovery-style tests (the reference's xUnit style:
+sample from the generative model -> fit -> assert recovery, test_nmf.m)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.pretrain import filterbank as fb_mod
+from nsgp_tpu.pretrain import gppad, nmf, segp, spectral
+
+
+def test_welch_parseval():
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (8192,))
+    w, S = spectral.welch(y, 512)
+    # mean of the one-sided spectrum ~ signal variance (white noise)
+    np.testing.assert_allclose(float(jnp.mean(S)), float(jnp.var(y)), rtol=0.15)
+
+
+def test_fit_probstft_recovers_two_tones():
+    """Two well-separated spectral peaks -> fitted centers close to truth."""
+    T = 16384
+    t = jnp.arange(T, dtype=jnp.float64)
+    rng = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(rng)
+    # narrowband noise around two frequencies (AR-ish via filtered cosines)
+    y = (
+        jnp.cos(0.5 * t + 2 * jnp.pi * jax.random.uniform(k1))
+        + jnp.cos(1.7 * t + 2 * jnp.pi * jax.random.uniform(k2))
+        + 0.1 * jax.random.normal(rng, (T,), jnp.float64)
+    )
+    fit = spectral.fit_probstft(y, D=2, kernel="exp", num_levels=2,
+                                steps_per_level=500)
+    om = np.sort(np.asarray(fit.omega))
+    assert abs(om[0] - 0.5) < 0.05, om
+    assert abs(om[1] - 1.7) < 0.05, om
+
+
+def test_steady_filterbank_reconstructs_signal():
+    """Sum of subband posterior means ~ the observed signal (denoising id)."""
+    T = 2048
+    key = jax.random.PRNGKey(2)
+    y = jax.random.normal(key, (T,), jnp.float64)
+    fb = fb_mod.build_filterbank(
+        sigma2=jnp.asarray([0.5, 0.5]), ell=jnp.asarray([50.0, 50.0]),
+        omega=jnp.asarray([0.5, 1.5]), kernel="exp", noise=0.3,
+    )
+    res = fb_mod.steady_filterbank(fb, y)
+    recon = jnp.sum(jnp.real(res.Z), axis=-1)
+    # With a noise floor the reconstruction is a shrunk version of y.
+    assert float(jnp.corrcoef(jnp.stack([recon, y]))[0, 1]) > 0.7
+    assert np.isfinite(float(res.lml))
+
+
+def test_steady_vs_exact_filterbank():
+    """Fast (steady/affine-scan) path matches the exact Kalman path after
+    the transient (ref kernel_ss_kalmanFastFB vs kalmanSlowFB)."""
+    T = 1024
+    y = jnp.asarray(np.random.default_rng(3).normal(size=T))
+    fb = fb_mod.build_filterbank(
+        sigma2=jnp.asarray([1.0]), ell=jnp.asarray([30.0]),
+        omega=jnp.asarray([0.8]), kernel="exp", noise=0.1,
+    )
+    fast = fb_mod.steady_filterbank(fb, y)
+    exact = fb_mod.exact_filterbank(fb, y)
+    sl = slice(200, -200)
+    np.testing.assert_allclose(
+        np.asarray(fast.Z[sl]), np.asarray(exact.Z[sl]), atol=5e-3
+    )
+
+
+def test_gppad_recovers_slow_envelope():
+    T = 4096
+    t = np.arange(T)
+    env_true = 1.0 + 0.8 * np.sin(2 * np.pi * t / 1500.0)
+    rng = np.random.default_rng(4)
+    carrier = rng.normal(size=T)
+    y = jnp.asarray(env_true * carrier)
+    res = gppad.demodulate(y, ell=300.0, steps=500)
+    a = np.asarray(res.envelope)
+    r = np.corrcoef(a, env_true)[0, 1]
+    assert r > 0.8, r
+
+
+def test_nmf_recovers_factorization():
+    rng = np.random.default_rng(5)
+    T, D, N = 2000, 6, 2
+    W_true = np.abs(rng.normal(size=(D, N))) + 0.1
+    H_true = np.abs(rng.normal(size=(T, N))) + 0.1
+    A = jnp.asarray(H_true @ W_true.T)
+    res = nmf.nmf_fp(A, N, iters=400, restarts=6)
+    Ahat = np.asarray(res.H @ res.W.T)
+    rel = np.abs(Ahat - np.asarray(A)) / np.asarray(A)
+    assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_segp_recovers_lengthscale():
+    """Whittle fit recovers the SE lengthscale within a factor
+    (ref test_trainSEGP_RS.m sweep style)."""
+    T, ell_true = 8192, 80.0
+    S = gppad.se_spectrum(T, ell_true, 1.0)
+    key = jax.random.PRNGKey(6)
+    u = jax.random.normal(key, (T // 2 + 1,), jnp.float64) + 1j * jax.random.normal(
+        jax.random.PRNGKey(7), (T // 2 + 1,), jnp.float64
+    )
+    x = jnp.fft.irfft(jnp.sqrt(S * T / 2.0) * u, n=T)
+    fit = segp.fit_segp(x)
+    assert 0.5 * ell_true < float(fit.ell) < 2.0 * ell_true, float(fit.ell)
