@@ -346,8 +346,12 @@ def ihgp_infer(
             )
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
-        else:
+        elif config.parallel:
             ms, idx = _steady_filter_parallel(ssm, tables, y, mask, sites)
+        else:
+            ms, idx, _, sites = _steady_filter_seq(
+                ssm, tables, y, mask, sites, mom_fn, damp, adf=False
+            )
         sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel)
 
         if itt < config.ep_itts - 1:

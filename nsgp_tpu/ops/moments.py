@@ -103,20 +103,25 @@ def moments(
     s2_eff = sn2 / ep_fraction + jnp.einsum("...sd,...d->...s", a * a, s2_z)
     mean = jnp.einsum("...sd,...d->...s", a, mu_z)
     resid = y[..., None] - mean
-    # N(y; mean, s2_eff) evaluated stably in log space, then exp (the
-    # reference works with raw normpdf; values are well-scaled for audio).
+    # N(y; mean, s2_eff) in log space, accumulated with a max shift so the
+    # sigma-point sum never under/overflows in f32 (the reference works with
+    # raw normpdf, which is fine in f64 only).  Symmetric-cubature weights can
+    # be NEGATIVE (ut7/ut9), so plain logsumexp does not apply; the shifted
+    # sum Z0r = sum_s w_s exp(l_s - lmax) is exact and well-scaled, and every
+    # derivative below is a ratio (sum w f exp(l - lmax)) / Z0r in which the
+    # exp(lmax) scale cancels.
     log_norm = -0.5 * (resid * resid / s2_eff + jnp.log(s2_eff) + _LOG2PI)
-    norm = jnp.exp(log_norm)
+    lmax = jax.lax.stop_gradient(jnp.max(log_norm, axis=-1, keepdims=True))
+    norm = jnp.exp(log_norm - lmax)
 
     if mp.use_pep_const:
         pep_const = (2.0 * jnp.pi * sn2) ** (0.5 * (1.0 - ep_fraction)) * ep_fraction ** (-0.5)
     else:
         pep_const = jnp.asarray(1.0, dtype)
 
-    Z0 = jnp.einsum("s,...s->...", wn, norm)
-    Z = pep_const * jnp.maximum(Z0, _JITTER)
-    lZ = jnp.log(Z)
-    Zinv = pep_const / Z  # == 1/max(Z0, jitter)
+    Z0 = jnp.maximum(jnp.einsum("s,...s->...", wn, norm), _JITTER)
+    lZ = jnp.log(pep_const) + lmax[..., 0] + jnp.log(Z0)
+    Zinv = 1.0 / Z0  # rescaled 1/Z; consistent with the rescaled ``norm``
 
     # --- first derivatives w.r.t. cavity means -----------------------------
     rs = resid / s2_eff  # (..., S)

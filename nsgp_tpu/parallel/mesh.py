@@ -64,11 +64,20 @@ def batched_ep_energy(
     return jnp.mean(e)
 
 
+def init_train_state(params: GTNMFParams, optimizer, transform=None):
+    """Optimizer state for ``make_train_step`` (over the unconstrained pytree)."""
+    from nsgp_tpu.inference.learn import Transform
+
+    tf = transform if transform is not None else Transform({})
+    return optimizer.init(tf.to_unconstrained(params))
+
+
 def make_train_step(
     model: GTNMFModel,
     config: ep.EPConfig,
     mesh: Mesh,
     optimizer,
+    transform=None,
 ):
     """Jitted distributed training step: dp over 'data', autodiff EP energy.
 
@@ -76,22 +85,34 @@ def make_train_step(
     update) compiles to one XLA program over the mesh.  The reference's
     analogue is fminunc + finite differences (train_model.m:222-246) — no
     gradients, no parallelism.
+
+    Optimization happens in the unconstrained space of ``learn.Transform``
+    (default: log-space for every positivity-constrained group), so additive
+    optimizer updates can never push variances/lengthscales/W negative; the
+    natural-scale params are only materialized for the energy evaluation.
+    Init the optimizer state with ``init_train_state``.
     """
+    from nsgp_tpu.inference.learn import Transform
+
+    tf = transform if transform is not None else Transform({})
     dspec = NamedSharding(mesh, P("data"))
-    rep = replicated(mesh)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, ys, masks):
+        import optax
+
         ys = jax.lax.with_sharding_constraint(ys, dspec)
         masks = jax.lax.with_sharding_constraint(masks, dspec)
+        u = tf.to_unconstrained(params)
 
-        def loss_fn(p):
+        def loss_fn(uu):
+            p = tf.to_params(uu, params)
             return batched_ep_energy(model, p, ys, masks, config)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda a, u: a + u, params, updates)
-        return params, opt_state, loss
+        loss, grads = jax.value_and_grad(loss_fn)(u)
+        updates, opt_state = optimizer.update(grads, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        return tf.to_params(u, params), opt_state, loss
 
     return step
 

@@ -96,10 +96,18 @@ def _to_complex(ms: jax.Array, D: int, blk: int) -> jax.Array:
     return x[..., 0] + 1j * x[..., 1]
 
 
-@partial(jax.jit, static_argnums=())
 def steady_filterbank(fb: Filterbank, y: jax.Array) -> FBResult:
-    """IHGP filterbank transform (fast path, fully parallel in time)."""
-    A, Q, H, r = fb.A, fb.Q, fb.H, fb.noise
+    """IHGP filterbank transform (fast path, fully parallel in time).
+
+    ``fb.D``/``fb.block`` are Python ints and must stay static under jit, so
+    the compiled implementation closes over them via static_argnums.
+    """
+    return _steady_filterbank(fb.A, fb.Q, fb.H, fb.noise, y,
+                              int(fb.D), int(fb.block))
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _steady_filterbank(A, Q, H, r, y, D: int, blk: int) -> FBResult:
     m = A.shape[0]
     T = y.shape[0]
 
@@ -144,10 +152,8 @@ def steady_filterbank(fb: Filterbank, y: jax.Array) -> FBResult:
     # Steady smoothed covariance PS = G PS G' + (Pf - G P G')
     QQ = Pf - G @ P @ G.T
     PS = dare_mod.dlyap_doubling(G, 0.5 * (QQ + QQ.T))
-    Pvar = jnp.stack(
-        [PS[c * fb.block, c * fb.block] for c in range(fb.D)]
-    )
-    return FBResult(Z=_to_complex(sm, fb.D, fb.block), ms=sm, Pvar=Pvar, lml=lml)
+    Pvar = jnp.diag(PS)[0::blk]
+    return FBResult(Z=_to_complex(sm, D, blk), ms=sm, Pvar=Pvar, lml=lml)
 
 
 def exact_filterbank(

@@ -78,9 +78,10 @@ def train_gtnmf_fixed_params(
     )
     Z = fb_mod.steady_filterbank(fb, y).Z  # (T, D) complex
 
-    # 3. GPPAD envelopes at timescale fs/10 samples (ref train_model.m:105)
+    # 3. GPPAD envelopes at timescale fs/10 samples (ref train_model.m:105,
+    #    used directly as the SE lengthscale in GetFFTCovFast.m)
     env = gppad.demodulate_channels(
-        jnp.real(Z).astype(y.dtype), ell=float(fs) / 10.0 / 16.0, steps=400
+        jnp.real(Z).astype(y.dtype), ell=float(fs) / 10.0, steps=400
     ).envelope  # (T, D)
 
     # 4. NMF of the (squared, for 'sq') envelopes -> W (D, N), H (T, N)
