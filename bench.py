@@ -5,48 +5,93 @@ TPU v5e chip — the reference (single-threaded MATLAB) records no numbers, so
 the 10 s/sweep operational target is the baseline.  ``vs_baseline`` is the
 speedup over that target (> 1 is better).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Stage progress/timings go to stderr so the run is diagnosable; an internal
+watchdog (BENCH_BUDGET_S, default 520 s) guarantees the JSON line is emitted
+with whatever was measured before the budget expires.
+
+Axon-backend rules learned the hard way (round 1 bench rc=124):
+- every eager op dispatch costs ~0.5 s (per-op remote compile), so ALL array
+  work happens inside jit and host-side setup uses numpy;
+- device arrays captured as jit closure constants are re-fetched to host at
+  lowering time, which is pathologically slow over the tunnel — everything
+  is passed as jit arguments (ep_infer's normal calling convention).
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+import numpy as np
+
+RESULT = {
+    "metric": "gtnmf_ep_sweep_100k",
+    "value": None,
+    "unit": "s/sweep",
+    "vs_baseline": 0.0,
+}
+BASELINE_S = 10.0  # seconds/sweep target on one chip (BASELINE.md)
+
+
+def emit_and_exit(signum=None, frame=None):
+    print(json.dumps(RESULT), flush=True)
+    os._exit(0)
+
+
+def log(msg, t0=None):
+    dt = f" {time.perf_counter() - t0:8.2f} s" if t0 is not None else ""
+    print(f"[bench] {msg}{dt}", file=sys.stderr, flush=True)
 
 
 def main():
+    budget = float(os.environ.get("BENCH_BUDGET_S", "520"))
+    signal.signal(signal.SIGALRM, emit_and_exit)
+    signal.alarm(int(budget))
+
+    import jax
+    import jax.numpy as jnp
+
     from nsgp_tpu.inference import ep
     from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams, sample_prior
 
     D, N, T = 16, 3, 100_000
     EP_ITTS = 3
-    dtype = jnp.float32
+    f32 = np.float32
+    log(f"devices={jax.devices()}")
 
     model = GTNMFModel(D=D, N=N, kernel1="matern32", kernel2="matern52",
                        p_cubature=9)
-    key = jax.random.PRNGKey(0)
-    kw, ky = jax.random.split(key)
+    # Host-side (numpy) parameter construction: single transfers, no eager tax.
+    rng = np.random.default_rng(0)
     params = GTNMFParams(
-        lik=jnp.asarray(1e-3, dtype),
-        sub_var=jnp.ones((D,), dtype),
-        sub_len=jnp.linspace(50.0, 300.0, D).astype(dtype),
-        omega=jnp.linspace(0.05, 2.8, D).astype(dtype),
-        mod_var=jnp.full((N,), 2.0, dtype),
-        mod_len=jnp.linspace(800.0, 2500.0, N).astype(dtype),
-        W=jax.random.uniform(kw, (D, N), dtype, minval=0.1, maxval=1.0),
+        lik=jnp.asarray(f32(1e-3)),
+        sub_var=jnp.asarray(np.ones(D, f32)),
+        sub_len=jnp.asarray(np.linspace(50.0, 300.0, D, dtype=f32)),
+        omega=jnp.asarray(np.linspace(0.05, 2.8, D, dtype=f32)),
+        mod_var=jnp.asarray(np.full(N, 2.0, f32)),
+        mod_len=jnp.asarray(np.linspace(800.0, 2500.0, N, dtype=f32)),
+        W=jnp.asarray(rng.uniform(0.1, 1.0, (D, N)).astype(f32)),
     )
-    y, _, _ = sample_prior(ky, model, params, T=T)
 
-    cfg = ep.EPConfig(ep_itts=EP_ITTS, parallel=True, moment_chunk=8192)
+    t0 = time.perf_counter()
+    sp = jax.jit(sample_prior, static_argnums=(1, 3))
+    y, _, _ = jax.block_until_ready(sp(jax.random.PRNGKey(1), model, params, T))
+    log("sample_prior (jit compile+run)", t0)
+
+    # Sequential scans win on one chip for this state size (bs=4, C=19):
+    # measured ~3x faster than the associative-scan path at T=100k.
+    cfg = ep.EPConfig(ep_itts=EP_ITTS, parallel=False, moment_chunk=8192)
 
     def run(y):
         res = ep.ep_infer(model, params, y, None, cfg)
         return res.Eft, res.nlZ
 
-    # Warm-up / compile
-    out = run(y)
-    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(run(y))
+    log("ep_infer compile+run", t0)
+    log(f"nlZ per sweep: {np.asarray(out[1]).tolist()}")
 
     reps = 3
     t0 = time.perf_counter()
@@ -55,15 +100,17 @@ def main():
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / reps
     per_sweep = elapsed / EP_ITTS
+    log(f"steady-state: {elapsed:.2f} s / {EP_ITTS} sweeps; "
+        f"{T * EP_ITTS / elapsed:,.0f} filtered samples/s/chip")
 
-    baseline = 10.0  # seconds/sweep target on one chip (BASELINE.md)
-    print(json.dumps({
-        "metric": "gtnmf_ep_sweep_100k",
-        "value": round(per_sweep, 4),
-        "unit": "s/sweep",
-        "vs_baseline": round(baseline / per_sweep, 2),
-    }))
+    RESULT["value"] = round(per_sweep, 4)
+    RESULT["vs_baseline"] = round(BASELINE_S / per_sweep, 2)
+    emit_and_exit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit the JSON line
+        log(f"FAILED: {type(e).__name__}: {e}")
+        emit_and_exit()

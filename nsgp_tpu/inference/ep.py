@@ -63,8 +63,10 @@ class EPResult(NamedTuple):
     lZ: jax.Array  # (T,) site log-normalizers from the last EP pass
     sites: Sites
     nlZ: jax.Array  # (ep_itts,) per-sweep negative log marginal likelihood
-    ms: jax.Array  # (T, C, bs) smoothed state means
-    Ps: jax.Array  # (T, C, bs, bs) smoothed state covariances
+    ms: jax.Array  # (T, C*bs) smoothed state means, trailing axis flattened
+    Ps: jax.Array  # (T, C*bs*bs) smoothed state covariances, flattened
+    # (flat layout avoids the 32-40x TPU tile-padding blowup of
+    # (T, C, bs, bs); reshape with (T, C, bs[, bs]) for small-T analysis)
 
 
 def _mom_point(model: GTNMFModel, params: GTNMFParams):
@@ -140,13 +142,19 @@ def _constrain_channel(ssm, sites: Sites, axis: str):
 
 
 def _forward_backward(ssm, sites, cfg: EPConfig):
-    """Filter with fixed sites + RTS smooth; sequential or parallel-in-time."""
+    """Filter with fixed sites + RTS smooth; sequential or parallel-in-time.
+
+    Returns FLATTENED smoothed trajectories (T, C*bs) / (T, C*bs*bs) — see
+    kalman.PackedTrajectory for the TPU layout rationale.
+    """
     if cfg.parallel:
         from nsgp_tpu.ops import pscan
 
-        return pscan.filter_smoother_with_sites(ssm, sites, jitter=cfg.jitter)
-    fr = kalman.filter_with_sites(ssm, sites, store=True)
-    ms, Ps = kalman.rts_smoother(ssm, fr, jitter=cfg.jitter)
+        ms, Ps = pscan.filter_smoother_with_sites(ssm, sites, jitter=cfg.jitter)
+        T = ms.shape[0]
+        return ms.reshape(T, -1), Ps.reshape(T, -1)
+    fr = kalman.filter_with_sites(ssm, sites, store=True, jitter=cfg.jitter)
+    ms, Ps = kalman.rts_smoother(ssm, fr)
     return ms, Ps
 
 
@@ -189,7 +197,7 @@ def ep_infer(
             )
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
-            ms, Ps = kalman.rts_smoother(ssm, fr, jitter=config.jitter)
+            ms, Ps = kalman.rts_smoother(ssm, fr)
         elif config.parallel:
             # Linear-Gaussian pass with fixed sites: O(log T) depth via
             # associative scans.  Skips the reference's last-step forward
@@ -201,7 +209,7 @@ def ep_infer(
             fr, _, sites = kalman.adf_filter(
                 ssm, y, mask, sites, mom_fn, damp, match_mask=last_only, store=True
             )
-            ms, Ps = kalman.rts_smoother(ssm, fr, jitter=config.jitter)
+            ms, Ps = kalman.rts_smoother(ssm, fr)
 
         if itt < config.ep_itts - 1:
             mu, var = kalman.observable_marginals(ssm, ms, Ps)
@@ -245,7 +253,7 @@ def ep_energy(
         ssm, y, mask, sites, mom_fn, config.damp(0), match_mask=None, store=store
     )
     for itt in range(1, config.ep_itts):
-        ms, Ps = kalman.rts_smoother(ssm, fr, jitter=config.jitter)
+        ms, Ps = kalman.rts_smoother(ssm, fr)
         mu, var = kalman.observable_marginals(ssm, ms, Ps)
         sites, lZ = _ep_resite(
             model, params, config, y, mask, mu, var, sites, config.damp(itt)

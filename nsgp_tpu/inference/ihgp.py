@@ -52,7 +52,11 @@ class IHGPConfig(NamedTuple):
     grid_hi: float = 4.0
     grid_coarse: int = 32
     grid_fine: int = 200
-    parallel: bool = True  # affine associative scans for sweeps >= 2
+    parallel: bool = False  # affine associative scans for sweeps >= 2.
+    # Default off: the parallel path gathers per-step (T, C, bs, bs) gain
+    # tensors whose TPU tile padding is 32x (OOM at T ~ 100k on one chip),
+    # and the sequential scan is faster on one chip for these block sizes
+    # anyway.  Use True only for T <~ 16k or sharded-time experiments.
 
     def damp(self, itt: int) -> float:
         if len(self.damping) == 0:
@@ -219,7 +223,9 @@ def _steady_filter_seq(
             tt_eff[:, None, None] > 0.0, M, ssm.A
         )  # pure prediction when site off
         m = jnp.einsum("cij,cj->ci", Mm, m) + Ky
-        return (m, tt), (m, idx, lZk, tt, tn)
+        # Flattened emission: stacking (T, C, bs) directly costs a 40x TPU
+        # tile-padding blowup (see kalman.PackedTrajectory).
+        return (m, tt), (m.reshape(-1), idx, lZk, tt, tn)
 
     m0 = jnp.zeros((C, bs), dt_)
     tt0 = jnp.zeros((C,), dt_)
@@ -230,8 +236,14 @@ def _steady_filter_seq(
 
 
 def _steady_filter_parallel(ssm, tables, y, mask, sites: Sites):
-    """Parallel-in-time steady filter with FIXED sites (affine scan)."""
+    """Parallel-in-time steady filter with FIXED sites (affine scan).
+
+    Memory note: gathers per-step (T, C, bs, bs) transition tensors, whose
+    TPU tile padding is ~32x — use only for T <~ 16k (IHGPConfig.parallel).
+    Returns FLATTENED means (T, C*bs) plus the (T, C) grid indices.
+    """
     C = ssm.A.shape[0]
+    T = mask.shape[0]
     car = jnp.arange(C)
     tt_eff = jnp.where(mask[:, None], sites.ttau, 0.0)
     idx = _lookup_idx(tables, tt_eff)  # (T, C)
@@ -248,24 +260,29 @@ def _steady_filter_parallel(ssm, tables, y, mask, sites: Sites):
         return Mb @ Ma, jnp.einsum("...ij,...j->...i", Mb, ca) + cb
 
     _, ms = jax.lax.associative_scan(combine, (M, c), axis=0)
-    return ms, idx
+    return ms.reshape(T, -1), idx
 
 
 def _steady_smoother(ssm, tables, ms, idx, parallel: bool):
     """Steady RTS smoother on filtered means: ms_k = G (ms_{k+1}) + c_k.
 
     Ref ihgp_ep_modulator_nmf.m:373-442 (mean recursion only; variances come
-    from the PS table).
+    from the PS table).  ``ms`` is FLATTENED (T, C*bs); the sequential path
+    gathers the (C, bs, bs) gain per step inside the scan so no (T, C, bs,
+    bs) tensor is ever materialized; the parallel path trades that memory
+    for O(log T) depth (small-T only).
     """
-    C = ssm.A.shape[0]
+    C, bs = ssm.H.shape
+    T = ms.shape[0]
     car = jnp.arange(C)
-    G = tables.Gn[car, idx]  # (T, C, bs, bs)
-    Am = jnp.einsum("cij,tcj->tci", ssm.A, ms)
-    cvec = ms - jnp.einsum("tcij,tcj->tci", G, Am)  # m_f - G A m_f
 
     if parallel:
+        msd = ms.reshape(T, C, bs)
+        G = tables.Gn[car, idx]  # (T, C, bs, bs)
+        Am = jnp.einsum("cij,tcj->tci", ssm.A, msd)
+        cvec = msd - jnp.einsum("tcij,tcj->tci", G, Am)  # m_f - G A m_f
         Gp = jnp.concatenate([G[:-1], jnp.zeros_like(G[:1])], axis=0)
-        cp = jnp.concatenate([cvec[:-1], ms[-1:]], axis=0)
+        cp = jnp.concatenate([cvec[:-1], msd[-1:]], axis=0)
 
         def combine(later, earlier):
             Ga, ca = later
@@ -273,14 +290,18 @@ def _steady_smoother(ssm, tables, ms, idx, parallel: bool):
             return Gb @ Ga, jnp.einsum("...ij,...j->...i", Gb, ca) + cb
 
         _, sm = jax.lax.associative_scan(combine, (Gp, cp), axis=0, reverse=True)
-        return sm
+        return sm.reshape(T, -1)
 
     def step(m_next, inp):
-        G_k, c_k = inp
+        ms_k, idx_k = inp
+        mf = ms_k.reshape(C, bs)
+        G_k = tables.Gn[car, idx_k]  # (C, bs, bs) per-step gather (tiny)
+        c_k = mf - jnp.einsum("cij,cjk,ck->ci", G_k, ssm.A, mf)
         m = jnp.einsum("cij,cj->ci", G_k, m_next) + c_k
-        return m, m
+        return m, m.reshape(-1)
 
-    _, sm_rev = jax.lax.scan(step, ms[-1], (G[:-1], cvec[:-1]), reverse=True)
+    mT = ms[-1].reshape(C, bs)
+    _, sm_rev = jax.lax.scan(step, mT, (ms[:-1], idx[:-1]), reverse=True)
     return jnp.concatenate([sm_rev, ms[-1:]], axis=0)
 
 
@@ -336,6 +357,10 @@ def ihgp_infer(
     nlZ = jnp.zeros((config.ep_itts,), dt_)
     lZ_final = jnp.zeros((T,), dt_)
     car = jnp.arange(C)
+    # Block-structured H-projection for FLATTENED means (T, C*bs) -> (T, C)
+    # (avoids materializing (T, C, bs); see kalman.observable_marginals).
+    bs = ssm.A.shape[-1]
+    Hm = (ssm.H[:, :, None] * jnp.eye(C, dtype=dt_)[:, None, :]).reshape(C * bs, C)
 
     sm = idx = None
     for itt in range(config.ep_itts):
@@ -355,14 +380,14 @@ def ihgp_infer(
         sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel)
 
         if itt < config.ep_itts - 1:
-            mu = jnp.einsum("ci,tci->tc", ssm.H, sm)
+            mu = sm @ Hm
             var = tables.hPSh[car, idx]  # (T, C) steady smoothed variances
             sites, lZ = _resite(mp, params, config, y, mask, mu, var, sites,
                                 config.damp(itt + 1))
             nlZ = nlZ.at[itt + 1].set(-jnp.sum(lZ))
             lZ_final = lZ
 
-    mu = jnp.einsum("ci,tci->tc", ssm.H, sm)
+    mu = sm @ Hm
     var = tables.hPSh[car, idx]
     return IHGPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ)
 

@@ -92,73 +92,127 @@ def moment_match(lZk, dlZ, d2lZ, fmu, fs2, ttau, tnu, damp, frac=1.0):
 
 
 class FilterResult(NamedTuple):
-    ms: jax.Array  # (T, C, bs) filtered means
+    ms: jax.Array  # (T, C, bs) filtered means (dense; parallel-scan path)
     Ps: jax.Array  # (T, C, bs, bs) filtered covariances
 
 
-def filter_with_sites(ssm: BlockSSM, sites: Sites, store: bool = True):
+class PackedTrajectory(NamedTuple):
+    """Time-stacked filter trajectories, flattened on the trailing axis.
+
+    TPU layout note: stacking (T, C, bs, bs) directly makes XLA tile each
+    trailing (bs, bs) = (4, 4) matrix to an (8, 128) lane tile — a measured
+    32-40x HBM padding blowup (a 116 MB trajectory ballooned to 3.6 GB and
+    OOMed the chip at T = 100k).  Flattening to (T, C*bs*bs) pads only T to
+    a multiple of 8 and the lane dim up to the next 128 (~1.26x).
+    """
+
+    ms: jax.Array  # (T, C*bs) filtered means
+    Ps: jax.Array  # (T, C*bs*bs) filtered covariances
+    Gs: jax.Array  # (T, C*bs*bs) smoother gains: row k holds
+    #   G_{k-1} = P_{k-1} A' Pp_k^{-1} (row 0 is zeros)
+    Pps: jax.Array  # (T, C*bs*bs) pseudo-predictions Pp_k = A P_{k-1} A' + Q
+    #   (row 0 is zeros; both computed in the forward pass where P_{k-1}
+    #   and Pp_k coexist, so the smoother needs no per-step solves)
+
+
+def _smoother_gain(ssm: BlockSSM, P_prev, Pp):
+    """G = P_prev A' Pp^{-1} per channel (pad_eye keeps padded dims regular)."""
+    PA = jnp.einsum("cij,ckj->cik", P_prev, ssm.A)  # P A'
+    Gt = jnp.linalg.solve(
+        jnp.swapaxes(Pp + ssm.pad_eye, -1, -2), jnp.swapaxes(PA, -1, -2)
+    )
+    return jnp.swapaxes(Gt, -1, -2)
+
+
+def filter_with_sites(
+    ssm: BlockSSM, sites: Sites, store: bool = True, jitter: float = 0.0
+) -> PackedTrajectory:
     """Linear-Gaussian forward filter given fixed EP sites.
 
     Used for EP sweeps >= 2 where the sites do not change during the pass
     (ref gf_ep_modulator_nmf.m:126-184 with the itt>1 branch inactive).
+    Emits the smoother gains on the fly (see PackedTrajectory).
     """
     m0 = jnp.zeros(ssm.H.shape, ssm.A.dtype)
     P0 = ssm.Pinf
+    eyeb = jitter * jnp.eye(ssm.block_size, dtype=ssm.A.dtype)
 
     def step(carry, site_k):
         m, P, first = carry
-        m, P = jax.lax.cond(first, lambda: (m, P), lambda: predict(ssm, m, P))
+        mp, Pp = jax.lax.cond(first, lambda: (m, P), lambda: predict(ssm, m, P))
+        Pp = 0.5 * (Pp + jnp.swapaxes(Pp, -1, -2)) + eyeb
+        G = _smoother_gain(ssm, P, Pp)
+        G = jnp.where(first, 0.0, G)
         ttau_k, tnu_k = site_k
-        m, P = site_update(ssm, m, P, ttau_k, tnu_k)
-        out = (m, P) if store else None
+        m, P = site_update(ssm, mp, Pp, ttau_k, tnu_k)
+        out = (
+            (m.reshape(-1), P.reshape(-1), G.reshape(-1),
+             jnp.where(first, 0.0, Pp).reshape(-1))
+            if store
+            else None
+        )
         return (m, P, jnp.zeros_like(first)), out
 
     first = jnp.asarray(True)
     (mT, PT, _), outs = jax.lax.scan(step, (m0, P0, first), (sites.ttau, sites.tnu))
     if store:
-        return FilterResult(ms=outs[0], Ps=outs[1])
-    return FilterResult(ms=mT[None], Ps=PT[None])
+        return PackedTrajectory(ms=outs[0], Ps=outs[1], Gs=outs[2], Pps=outs[3])
+    z = jnp.zeros((1, PT.size), PT.dtype)
+    return PackedTrajectory(ms=mT.reshape(1, -1), Ps=PT.reshape(1, -1), Gs=z, Pps=z)
 
 
-def rts_smoother(ssm: BlockSSM, fr: FilterResult, jitter: float = 0.0):
-    """RTS smoothing pass over stored filtered moments.
+def rts_smoother(ssm: BlockSSM, traj: PackedTrajectory, jitter: float = 0.0):
+    """RTS smoothing pass over a stored packed trajectory.
 
-    Ref gf_ep_modulator_nmf.m:207-234 — per-channel version; the Cholesky
-    solve of the pseudo-prediction A P A' + Q happens on (bs, bs) blocks.
-    ``jitter`` adds a deterministic diagonal ridge (the reference retries a
-    failed Cholesky with random jitter 1e-4; we use a fixed ridge instead).
+    Ref gf_ep_modulator_nmf.m:207-234 — per-channel version.  The smoother
+    gains were already emitted by the forward pass, so this is a pure affine
+    backward recursion (no solves):
+
+        m_k <- m_k + G_k (m_{k+1} - A m_k)
+        P_k <- P_k + G_k (P_{k+1} - Pp_{k+1}) G_k'
+
+    ``jitter`` is accepted for API compatibility; the ridge is applied in
+    the forward pass where Pp is formed.
     """
-    A, Q = ssm.A, ssm.Q
-    eyeb = jnp.eye(ssm.block_size, dtype=A.dtype)
+    del jitter
+    C, bs = ssm.H.shape
+    A = ssm.A
+    unm = lambda v: v.reshape(C, bs)
+    unP = lambda v: v.reshape(C, bs, bs)
 
     def step(carry, inp):
         m_next, P_next = carry
-        ms_k, Ps_k = inp
-        Pp = jnp.einsum("cij,cjk,clk->cil", A, Ps_k, A) + Q
-        Pp = 0.5 * (Pp + jnp.swapaxes(Pp, -1, -2)) + jitter * eyeb
-        PA = jnp.einsum("cij,ckj->cik", Ps_k, A)  # Ps A'
-        # G = Ps A' Pp^{-1}; solve Pp' G' = (Ps A')' per channel.
-        # pad_eye keeps zero-padded blocks nonsingular (their PA rows are 0).
-        Gt = jnp.linalg.solve(Pp + ssm.pad_eye, jnp.swapaxes(PA, -1, -2))
-        G = jnp.swapaxes(Gt, -1, -2)
+        ms_k, Ps_k, G_k1, Pp_k1 = inp
+        ms_k, Ps_k = unm(ms_k), unP(Ps_k)
+        G, Pp1 = unP(G_k1), unP(Pp_k1)
         m = ms_k + jnp.einsum("cij,cj->ci", G, m_next - jnp.einsum("cij,cj->ci", A, ms_k))
-        P = Ps_k + jnp.einsum("cij,cjk,clk->cil", G, P_next - Pp, G)
+        P = Ps_k + jnp.einsum("cij,cjk,clk->cil", G, P_next - Pp1, G)
         P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
-        return (m, P), (m, P)
+        return (m, P), (m.reshape(-1), P.reshape(-1))
 
-    mT, PT = fr.ms[-1], fr.Ps[-1]
-    (_, _), (ms_rev, Ps_rev) = jax.lax.scan(
-        step, (mT, PT), (fr.ms[:-1], fr.Ps[:-1]), reverse=True
-    )
-    ms = jnp.concatenate([ms_rev, mT[None]], axis=0)
-    Ps = jnp.concatenate([Ps_rev, PT[None]], axis=0)
+    mT, PT = unm(traj.ms[-1]), unP(traj.Ps[-1])
+    # Row k+1 of Gs/Pps holds G_k and Pp_{k+1} (emitted on the forward pass).
+    xs = (traj.ms[:-1], traj.Ps[:-1], traj.Gs[1:], traj.Pps[1:])
+    (_, _), (ms_rev, Ps_rev) = jax.lax.scan(step, (mT, PT), xs, reverse=True)
+    ms = jnp.concatenate([ms_rev, traj.ms[-1:]], axis=0)
+    Ps = jnp.concatenate([Ps_rev, traj.Ps[-1:]], axis=0)
     return ms, Ps
 
 
 def observable_marginals(ssm: BlockSSM, ms, Ps):
-    """(T, C) mean and variance of H x for stored state moments."""
-    mu = jnp.einsum("ci,tci->tc", ssm.H, ms)
-    var = jnp.einsum("ci,tcij,cj->tc", ssm.H, Ps, ssm.H)
+    """(T, C) mean and variance of H x from FLATTENED state trajectories.
+
+    ms (T, C*bs), Ps (T, C*bs*bs).  Implemented as two block-structured
+    matmuls (T, C*bs) @ (C*bs, C) — MXU-friendly and, crucially, never
+    materializing a (T, C, bs, bs) intermediate (see PackedTrajectory).
+    """
+    C, bs = ssm.H.shape
+    eyeC = jnp.eye(C, dtype=ssm.H.dtype)
+    Hm = (ssm.H[:, :, None] * eyeC[:, None, :]).reshape(C * bs, C)
+    HH = ssm.H[:, :, None] * ssm.H[:, None, :]  # (C, bs, bs)
+    HHm = (HH[:, :, :, None] * eyeC[:, None, None, :]).reshape(C * bs * bs, C)
+    mu = ms @ Hm
+    var = Ps @ HHm
     return mu, var
 
 
@@ -188,9 +242,11 @@ def adf_filter(
     def step(carry, inp):
         m, P, first = carry
         y_k, obs_k, mm_k, ttau_k, tnu_k = inp
-        m, P = jax.lax.cond(first, lambda: (m, P), lambda: predict(ssm, m, P))
+        mp, Pp = jax.lax.cond(first, lambda: (m, P), lambda: predict(ssm, m, P))
+        G = _smoother_gain(ssm, P, Pp)
+        G = jnp.where(first, 0.0, G)
 
-        fmu, PH, HPH = marginals(ssm, m, P)
+        fmu, PH, HPH = marginals(ssm, mp, Pp)
 
         def do_match():
             lZk, dlZ, d2lZ = mom_fn(y_k, fmu, HPH, 1.0)
@@ -205,14 +261,24 @@ def adf_filter(
         # Masked (unobserved) steps: zero sites => update is a no-op.
         tt_eff = jnp.where(obs_k, ttau_new, 0.0)
         tn_eff = jnp.where(obs_k, tnu_new, 0.0)
-        m, P = site_update(ssm, m, P, tt_eff, tn_eff)
+        m, P = site_update(ssm, mp, Pp, tt_eff, tn_eff)
 
-        out = (m, P) if store else None
+        out = (
+            (m.reshape(-1), P.reshape(-1), G.reshape(-1),
+             jnp.where(first, 0.0, Pp).reshape(-1))
+            if store
+            else None
+        )
         return (m, P, jnp.zeros_like(first)), (out, lZk, ttau_new, tnu_new)
 
     first = jnp.asarray(True)
     (mT, PT, _), (outs, lZ, ttau, tnu) = jax.lax.scan(
         step, (m0, P0, first), (y, mask, match_mask, sites.ttau, sites.tnu)
     )
-    fr = FilterResult(ms=outs[0], Ps=outs[1]) if store else FilterResult(mT[None], PT[None])
-    return fr, lZ, Sites(ttau, tnu)
+    if store:
+        traj = PackedTrajectory(ms=outs[0], Ps=outs[1], Gs=outs[2], Pps=outs[3])
+    else:
+        z = jnp.zeros((1, PT.size), PT.dtype)
+        traj = PackedTrajectory(ms=mT.reshape(1, -1), Ps=PT.reshape(1, -1),
+                                Gs=z, Pps=z)
+    return traj, lZ, Sites(ttau, tnu)

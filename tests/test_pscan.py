@@ -44,11 +44,16 @@ def test_parallel_filter_matches_sequential(T):
     ssm = model.build_ssm(params)
     sites = _random_sites(jax.random.PRNGKey(1), T, ssm.num_channels)
 
-    fr_seq = kalman.filter_with_sites(ssm, sites, store=True)
+    traj = kalman.filter_with_sites(ssm, sites, store=True)
     fr_par = pscan.parallel_filter_with_sites(ssm, sites)
 
-    np.testing.assert_allclose(fr_par.ms, fr_seq.ms, rtol=1e-8, atol=1e-9)
-    np.testing.assert_allclose(fr_par.Ps, fr_seq.Ps, rtol=1e-8, atol=1e-9)
+    C, bs = ssm.num_channels, ssm.block_size
+    np.testing.assert_allclose(
+        fr_par.ms, traj.ms.reshape(T, C, bs), rtol=1e-8, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        fr_par.Ps, traj.Ps.reshape(T, C, bs, bs), rtol=1e-8, atol=1e-9
+    )
 
 
 @pytest.mark.parametrize("T", [7, 200])
@@ -57,12 +62,16 @@ def test_parallel_smoother_matches_sequential(T):
     ssm = model.build_ssm(params)
     sites = _random_sites(jax.random.PRNGKey(2), T, ssm.num_channels)
 
-    fr = kalman.filter_with_sites(ssm, sites, store=True)
-    ms_seq, Ps_seq = kalman.rts_smoother(ssm, fr)
+    C, bs = ssm.num_channels, ssm.block_size
+    traj = kalman.filter_with_sites(ssm, sites, store=True)
+    ms_seq, Ps_seq = kalman.rts_smoother(ssm, traj)  # flattened (T, C*bs[*bs])
+    fr = kalman.FilterResult(
+        ms=traj.ms.reshape(T, C, bs), Ps=traj.Ps.reshape(T, C, bs, bs)
+    )
     ms_par, Ps_par = pscan.parallel_rts_smoother(ssm, fr)
 
-    np.testing.assert_allclose(ms_par, ms_seq, rtol=1e-7, atol=1e-8)
-    np.testing.assert_allclose(Ps_par, Ps_seq, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(ms_par.reshape(T, -1), ms_seq, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(Ps_par.reshape(T, -1), Ps_seq, rtol=1e-7, atol=1e-8)
 
 
 def test_parallel_ep_inference_matches_sequential():
