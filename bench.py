@@ -75,10 +75,31 @@ def main():
         W=jnp.asarray(rng.uniform(0.1, 1.0, (D, N)).astype(f32)),
     )
 
+    # NOTE: on the axon backend, block_until_ready can return before the
+    # first (compiling) dispatch actually finishes; a tiny device->host
+    # fetch is the only reliable synchronization point.
+    sync = lambda x: np.asarray(jax.tree.leaves(x)[-1]).ravel()[:1]
+
+    # Benchmark signal: pure-NumPy modulated subband noise (D bandpassed
+    # carriers x slow positive envelopes).  Inference cost is data-
+    # independent; jitted prior sampling costs minutes of compile on the TPU
+    # (eigh lowering) and tens of seconds on a contended host CPU.
     t0 = time.perf_counter()
-    sp = jax.jit(sample_prior, static_argnums=(1, 3))
-    y, _, _ = jax.block_until_ready(sp(jax.random.PRNGKey(1), model, params, T))
-    log("sample_prior (jit compile+run)", t0)
+    omegas = np.linspace(0.05, 2.8, D)
+    freqs = np.fft.rfftfreq(T) * 2 * np.pi
+    yh = np.zeros(T, np.float64)
+    for d in range(D):
+        spec = np.fft.rfft(rng.normal(size=T))
+        spec *= np.exp(-0.5 * ((freqs - omegas[d]) / 0.02) ** 2)
+        carrier = np.fft.irfft(spec, T)
+        # moving-average smoothing via cumsum (np.convolve is O(T*w): 100 s)
+        c = np.cumsum(rng.normal(size=T + 2000))
+        env = np.abs(c[2000:] - c[:-2000]) / 2000.0 + 0.05
+        yh += carrier / (carrier.std() + 1e-12) * env
+    y = jnp.asarray((yh / yh.std()).astype(f32))
+    y = jax.device_put(y, jax.devices()[0])
+    sync(y)
+    log("signal generation (numpy) + transfer", t0)
 
     # Sequential scans win on one chip for this state size (bs=4, C=19):
     # measured ~3x faster than the associative-scan path at T=100k.
@@ -86,18 +107,20 @@ def main():
 
     def run(y):
         res = ep.ep_infer(model, params, y, None, cfg)
-        return res.Eft, res.nlZ
+        return res.Eft, res.nlZ, res.maxdiff
 
     t0 = time.perf_counter()
-    out = jax.block_until_ready(run(y))
+    out = run(y)
+    nlZ = np.asarray(out[1])  # D2H fetch = the only true sync (see above)
     log("ep_infer compile+run", t0)
-    log(f"nlZ per sweep: {np.asarray(out[1]).tolist()}")
+    log(f"nlZ per sweep: {nlZ.tolist()}")
+    log(f"maxdiff per sweep: {np.asarray(out[2]).tolist()}")
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = run(y)
-    jax.block_until_ready(out)
+        sync(out[1])
     elapsed = (time.perf_counter() - t0) / reps
     per_sweep = elapsed / EP_ITTS
     log(f"steady-state: {elapsed:.2f} s / {EP_ITTS} sweeps; "

@@ -36,6 +36,7 @@ from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams
 from nsgp_tpu.ops import kalman
 from nsgp_tpu.ops.kalman import Sites
 from nsgp_tpu.ops.moments import moments, moments_chunked
+from nsgp_tpu.utils.precision import f32_matmuls
 
 
 class EPConfig(NamedTuple):
@@ -67,6 +68,9 @@ class EPResult(NamedTuple):
     Ps: jax.Array  # (T, C*bs*bs) smoothed state covariances, flattened
     # (flat layout avoids the 32-40x TPU tile-padding blowup of
     # (T, C, bs, bs); reshape with (T, C, bs[, bs]) for small-T analysis)
+    maxdiff: jax.Array  # (ep_itts,) max |change| in posterior mean/variance
+    # vs the previous sweep — the reference's convergence monitor
+    # (gf_ep_modulator.m:279-289); entry 0 is inf (no previous sweep)
 
 
 def _mom_point(model: GTNMFModel, params: GTNMFParams):
@@ -159,6 +163,7 @@ def _forward_backward(ssm, sites, cfg: EPConfig):
 
 
 @partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
 def ep_infer(
     model: GTNMFModel,
     params: GTNMFParams,
@@ -185,10 +190,11 @@ def ep_infer(
     mom_fn = _mom_point(model, params)
 
     nlZ = jnp.zeros((config.ep_itts,), dtype)
+    maxdiff = jnp.full((config.ep_itts,), jnp.inf, dtype)
     lZ_final = jnp.zeros((T,), dtype)
     last_only = jnp.zeros((T,), bool).at[-1].set(True)
 
-    ms = Ps = None
+    mu = var = None
     for itt in range(config.ep_itts):
         damp = config.damp(itt)
         if itt == 0:
@@ -211,19 +217,28 @@ def ep_infer(
             )
             ms, Ps = kalman.rts_smoother(ssm, fr)
 
+        mu_new, var_new = kalman.observable_marginals(ssm, ms, Ps)
+        if itt > 0:
+            # Convergence monitor (ref gf_ep_modulator.m:279-289).
+            md = jnp.maximum(
+                jnp.max(jnp.abs(mu_new - mu)), jnp.max(jnp.abs(var_new - var))
+            )
+            maxdiff = maxdiff.at[itt].set(md)
+        mu, var = mu_new, var_new
+
         if itt < config.ep_itts - 1:
-            mu, var = kalman.observable_marginals(ssm, ms, Ps)
             sites, lZ = _ep_resite(
                 model, params, config, y, mask, mu, var, sites, config.damp(itt + 1)
             )
             nlZ = nlZ.at[itt + 1].set(-jnp.sum(lZ))
             lZ_final = lZ
 
-    mu, var = kalman.observable_marginals(ssm, ms, Ps)
-    return EPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ, ms=ms, Ps=Ps)
+    return EPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ,
+                    ms=ms, Ps=Ps, maxdiff=maxdiff)
 
 
 @partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
 def ep_energy(
     model: GTNMFModel,
     params: GTNMFParams,

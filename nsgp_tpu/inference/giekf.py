@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from nsgp_tpu.models.gtnmf import GTNMFModel, GTNMFParams
 from nsgp_tpu.ops.moments import LINKS
 from nsgp_tpu.ops.ssm import BlockSSM
+from nsgp_tpu.utils.precision import f32_matmuls
 
 
 class GIEKFConfig(NamedTuple):
@@ -175,6 +176,7 @@ def _rts_dense(A, Q, ms, Ps, jitter):
 
 
 @partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
 def giekf_infer(
     model: GTNMFModel,
     params: GTNMFParams,
@@ -209,6 +211,7 @@ def giekf_infer(
 
 
 @partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
 def giekf_energy(
     model: GTNMFModel,
     params: GTNMFParams,

@@ -41,6 +41,7 @@ from nsgp_tpu.ops import dare as dare_mod
 from nsgp_tpu.ops.kalman import Sites
 from nsgp_tpu.ops.moments import moments, moments_chunked
 from nsgp_tpu.ops.ssm import BlockSSM
+from nsgp_tpu.utils.precision import f32_matmuls
 
 
 class IHGPConfig(NamedTuple):
@@ -82,6 +83,8 @@ class IHGPResult(NamedTuple):
     lZ: jax.Array  # (T,)
     sites: Sites
     nlZ: jax.Array  # (ep_itts,)
+    maxdiff: jax.Array  # (ep_itts,) max |change| in posterior mean/variance
+    # vs the previous sweep (convergence monitor; entry 0 is inf)
 
 
 def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
@@ -328,6 +331,7 @@ def _resite(mp, params, cfg, y, mask, mu, var, sites: Sites, damp):
 
 
 @partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
 def ihgp_infer(
     model: GTNMFModel,
     params: GTNMFParams,
@@ -362,7 +366,8 @@ def ihgp_infer(
     bs = ssm.A.shape[-1]
     Hm = (ssm.H[:, :, None] * jnp.eye(C, dtype=dt_)[:, None, :]).reshape(C * bs, C)
 
-    sm = idx = None
+    maxdiff = jnp.full((config.ep_itts,), jnp.inf, dt_)
+    mu = var = None
     for itt in range(config.ep_itts):
         damp = config.damp(itt)
         if itt == 0:
@@ -379,20 +384,27 @@ def ihgp_infer(
             )
         sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel)
 
+        mu_new = sm @ Hm
+        var_new = tables.hPSh[car, idx]  # (T, C) steady smoothed variances
+        if itt > 0:
+            md = jnp.maximum(
+                jnp.max(jnp.abs(mu_new - mu)), jnp.max(jnp.abs(var_new - var))
+            )
+            maxdiff = maxdiff.at[itt].set(md)
+        mu, var = mu_new, var_new
+
         if itt < config.ep_itts - 1:
-            mu = sm @ Hm
-            var = tables.hPSh[car, idx]  # (T, C) steady smoothed variances
             sites, lZ = _resite(mp, params, config, y, mask, mu, var, sites,
                                 config.damp(itt + 1))
             nlZ = nlZ.at[itt + 1].set(-jnp.sum(lZ))
             lZ_final = lZ
 
-    mu = sm @ Hm
-    var = tables.hPSh[car, idx]
-    return IHGPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ)
+    return IHGPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ,
+                      maxdiff=maxdiff)
 
 
 @partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
 def ihgp_energy(
     model: GTNMFModel,
     params: GTNMFParams,

@@ -112,6 +112,9 @@ def moments(
     # exp(lmax) scale cancels.
     log_norm = -0.5 * (resid * resid / s2_eff + jnp.log(s2_eff) + _LOG2PI)
     lmax = jax.lax.stop_gradient(jnp.max(log_norm, axis=-1, keepdims=True))
+    # Guard the degenerate all -inf case (every sigma point underflowed,
+    # e.g. an f32 cavity blown up to inf): exp(-inf - -inf) would be NaN.
+    lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
     norm = jnp.exp(log_norm - lmax)
 
     if mp.use_pep_const:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from nsgp_tpu.ops import dare as dare_mod
 from nsgp_tpu.ops import kernels as K
 from nsgp_tpu.ops import ssm as ssm_mod
+from nsgp_tpu.utils.precision import f32_matmuls
 
 
 class Filterbank(NamedTuple):
@@ -107,6 +108,7 @@ def steady_filterbank(fb: Filterbank, y: jax.Array) -> FBResult:
 
 
 @partial(jax.jit, static_argnums=(5, 6))
+@f32_matmuls
 def _steady_filterbank(A, Q, H, r, y, D: int, blk: int) -> FBResult:
     m = A.shape[0]
     T = y.shape[0]

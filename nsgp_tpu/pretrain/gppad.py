@@ -99,6 +99,7 @@ def demodulate(
 def demodulate_channels(Y: jax.Array, ell: float, steps: int = 600,
                         lr: float = 5e-2) -> GPPADResult:
     """Demodulate D channels at once (vmapped).  Y: (T, D)."""
+    out_axes = GPPADResult(envelope=1, carrier=1, x=1, obj=0)  # obj is scalar
     res = jax.vmap(lambda yc: demodulate(yc, ell, steps, lr),
-                   in_axes=1, out_axes=1)(Y)
+                   in_axes=1, out_axes=out_axes)(Y)
     return res
