@@ -39,19 +39,10 @@ def denoise(
 ) -> DenoiseResult:
     """Run inference with lik = noise_var (ref noise_reduction_speech.m:34-80:
     w_lik is set to the true added-noise level, 30 EP iters)."""
+    from nsgp_tpu.inference import registry
+
     p = params._replace(lik=jnp.asarray(noise_var, jnp.asarray(params.lik).dtype))
-    if engine == "ep":
-        from nsgp_tpu.inference import ep
-
-        cfg = ep.EPConfig(**engine_kwargs) if engine_kwargs else ep.EPConfig()
-        res = ep.ep_infer(model, p, y_noisy, None, cfg)
-    elif engine == "ihgp":
-        from nsgp_tpu.inference import ihgp
-
-        cfg = ihgp.IHGPConfig(**engine_kwargs) if engine_kwargs else ihgp.IHGPConfig()
-        res = ihgp.ihgp_infer(model, p, y_noisy, None, cfg)
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
+    res = registry.infer(engine, model, p, y_noisy, None, **engine_kwargs)
 
     if key is None:
         key = jax.random.PRNGKey(0)

@@ -83,24 +83,10 @@ def fill_gaps(
 
     Ref missing_data_music.m:119-175 (engines x ep_itts sweeps).
     """
+    from nsgp_tpu.inference import registry
+
     y_obs = jnp.where(mask, y_true, jnp.nan)
-    if engine == "ep":
-        from nsgp_tpu.inference import ep
-
-        cfg = ep.EPConfig(**engine_kwargs) if engine_kwargs else ep.EPConfig()
-        res = ep.ep_infer(model, params, y_obs, mask, cfg)
-    elif engine == "ihgp":
-        from nsgp_tpu.inference import ihgp
-
-        cfg = ihgp.IHGPConfig(**engine_kwargs) if engine_kwargs else ihgp.IHGPConfig()
-        res = ihgp.ihgp_infer(model, params, y_obs, mask, cfg)
-    elif engine == "giekf":
-        from nsgp_tpu.inference import giekf
-
-        cfg = giekf.GIEKFConfig(**engine_kwargs) if engine_kwargs else giekf.GIEKFConfig()
-        res = giekf.giekf_infer(model, params, y_obs, mask, cfg)
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
+    res = registry.infer(engine, model, params, y_obs, mask, **engine_kwargs)
 
     if key is None:
         key = jax.random.PRNGKey(0)

@@ -32,24 +32,19 @@ def separate(
     true_sources: jax.Array | None = None,  # (T, J)
     key: jax.Array | None = None,
     n_samples: int = 20,
+    mixture_lik: float | None = None,
     **engine_kwargs,
 ) -> SeparationResult:
     """Joint EP over the stacked model (ref source_sep_piano.m:50-145:
-    ihgp_ep_mods_nmf_mixture with 10 EP iters, damping 0.025)."""
-    jm, jp, slices = mixture.join_models(models, params)
+    ihgp_ep_mods_nmf_mixture with 10 EP iters, damping 0.025).
 
-    if engine == "ep":
-        from nsgp_tpu.inference import ep
+    ``mixture_lik``: explicit observation-noise variance for the mixture
+    (the reference passes one, source_sep_piano.m:84-88); defaults to the
+    mean of the sources' trained noises."""
+    from nsgp_tpu.inference import registry
 
-        cfg = ep.EPConfig(**engine_kwargs) if engine_kwargs else ep.EPConfig()
-        res = ep.ep_infer(jm, jp, y_mix, None, cfg)
-    elif engine == "ihgp":
-        from nsgp_tpu.inference import ihgp
-
-        cfg = ihgp.IHGPConfig(**engine_kwargs) if engine_kwargs else ihgp.IHGPConfig()
-        res = ihgp.ihgp_infer(jm, jp, y_mix, None, cfg)
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
+    jm, jp, slices = mixture.join_models(models, params, lik=mixture_lik)
+    res = registry.infer(engine, jm, jp, y_mix, None, **engine_kwargs)
 
     if key is None:
         key = jax.random.PRNGKey(0)

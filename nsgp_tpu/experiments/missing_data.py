@@ -1,0 +1,127 @@
+"""Missing-data music experiment (ref missing_data_music.m).
+
+Per music file: pre-train a GT-NMF model on a training segment
+(train_GTFNMF_fixed_params equivalent), NaN out gaps of growing length in a
+test segment (the reference uses 6 gaps of 10-320 samples, :119), run the
+engines, and score RMSE/SNR over the gaps.
+
+CLI: python -m nsgp_tpu.experiments.missing_data [--files piano guitar]
+Writes results/missing_data_music.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.apps import missing_data as md
+from nsgp_tpu.experiments import AUDIO_ROOT
+from nsgp_tpu.pretrain import pipeline
+from nsgp_tpu.utils.audio import read_wav
+
+GAP_LENGTHS = (10, 20, 40, 80, 160, 320)  # ref missing_data_music.m:119
+
+
+def gaps_for(T: int, lengths=GAP_LENGTHS):
+    """Evenly-spaced gaps of the reference's lengths, clear of the edges."""
+    starts = np.linspace(0.1, 0.9, len(lengths)) * T
+    return [(int(s), int(l)) for s, l in zip(starts, lengths)]
+
+
+def run_file(
+    path: str,
+    D=12,
+    N=3,
+    kernel1="exp",
+    train_seconds=1.0,
+    test_seconds=1.0,
+    engines=("ep", "ihgp"),
+    ep_itts=(1, 8),
+    pretrain_kwargs=None,
+):
+    y_raw, fs = read_wav(path)
+    y_raw = y_raw / (np.std(y_raw) + 1e-12)
+    n_train = int(train_seconds * fs)
+    n_test = int(test_seconds * fs)
+    y_train = jnp.asarray(y_raw[:n_train])
+    y_test = jnp.asarray(y_raw[n_train : n_train + n_test])
+
+    kw = dict(num_levels=2, steps_per_level=200)
+    kw.update(pretrain_kwargs or {})
+    tm = pipeline.train_gtnmf_fixed_params(
+        y_train, D=D, N=N, kernel1=kernel1, fs=float(fs),
+        filterbank_kwargs=kw,
+    )
+
+    T = int(y_test.shape[0])
+    mask = md.make_gap_mask(T, gaps_for(T))
+    rows = []
+    for eng in engines:
+        for itts in ep_itts:
+            ek = {"ep_itts": itts} if eng in ("ep", "ihgp") else {}
+            if eng == "ihgp":
+                ek["grid_lo"] = -4.0
+            t0 = time.perf_counter()
+            r = md.fill_gaps(tm.model, tm.params, y_test, mask, engine=eng,
+                             n_samples=20, **ek)
+            rows.append({
+                "engine": eng,
+                "ep_itts": itts,
+                "rmse_gaps": float(r.rmse_gaps),
+                "snr_gaps_db": float(r.snr_gaps),
+                "seconds": round(time.perf_counter() - t0, 3),
+            })
+    return {"file": os.path.basename(path), "fs": fs, "D": D, "N": N,
+            "kernel1": kernel1, "rows": rows}
+
+
+def run(files=("piano", "guitar", "flute"), **kwargs):
+    out = {"experiment": "missing_data_music", "gap_lengths": GAP_LENGTHS,
+           "files": []}
+    for name in files:
+        path = os.path.join(AUDIO_ROOT, "music", f"{name}.wav")
+        out["files"].append(run_file(path, **kwargs))
+    # aggregation (ref missing_data_music_results.m:26-37)
+    agg = {}
+    for f in out["files"]:
+        for row in f["rows"]:
+            key = f"{row['engine']}_itts{row['ep_itts']}"
+            agg.setdefault(key, []).append((row["snr_gaps_db"], row["rmse_gaps"]))
+    out["aggregate"] = {
+        k: {"mean_snr_gaps_db": float(np.mean([a for a, _ in v])),
+            "mean_rmse_gaps": float(np.mean([b for _, b in v]))}
+        for k, v in agg.items()
+    }
+    return out
+
+
+def _setup_backend(device: str):
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--files", nargs="+", default=["piano", "guitar", "flute"])
+    ap.add_argument("--out", default="results/missing_data_music.json")
+    args = ap.parse_args()
+    _setup_backend(args.device)
+    res = run(files=tuple(args.files))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res["aggregate"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,24 @@ def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
         )
     )(A, H, Q)
 
+    # DARE failure tolerance (ref ihgp_ep_modulator_nmf.m:114-128 drops
+    # failing grid points): replace any non-converged grid point with the
+    # nearest converged one on the same channel; a fully-failed channel
+    # falls back to Pinf (pure-prediction steady state).
+    res = jax.vmap(
+        lambda Pg, Ac, Hc, Qc: jax.vmap(
+            lambda P, r: dare_mod.dare_residual(P, Ac, Hc, Qc, r)
+        )(Pg, r_coarse)
+    )(P_coarse, A, H, Q)  # (C, Gc)
+    good = res < 1e-4
+    gi = jnp.arange(cfg.grid_coarse)
+    dist = jnp.abs(gi[:, None] - gi[None, :])[None]  # (1, Gc, Gc)
+    dist = jnp.where(good[:, None, :], dist, jnp.iinfo(jnp.int32).max)
+    src = jnp.argmin(dist, axis=-1)  # (C, Gc) nearest good grid index
+    P_coarse = jnp.take_along_axis(P_coarse, src[..., None, None], axis=1)
+    any_good = jnp.any(good, axis=1)[:, None, None, None]
+    P_coarse = jnp.where(any_good, P_coarse, Pinf[:, None])
+
     # Cubic upsample of vec(P) over the log-noise grid: (C, G, bs, bs)
     P_pred = jnp.einsum("gk,ckij->cgij", Wint, P_coarse)
     P_pred = 0.5 * (P_pred + jnp.swapaxes(P_pred, -1, -2))
@@ -145,6 +163,20 @@ def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
     QQ = 0.5 * (QQ + jnp.swapaxes(QQ, -1, -2))
     PS = jax.vmap(jax.vmap(dare_mod.dlyap_doubling))(Gn, QQ)
     hPSh = jnp.einsum("ci,cgij,cj->cg", H, PS, H)
+
+    # Fully-failed channels (no converged grid point at all): the derived
+    # quantities above are meaningless (e.g. rho(Gn) >= 1 makes the Lyapunov
+    # solve diverge), so fall back to pure prediction at the prior: K = 0,
+    # M = A, Gn = 0, all marginal variances = h' Pinf h.
+    ok1 = any_good[..., 0]  # (C, 1, 1)
+    ok0 = any_good[..., 0, 0]  # (C, 1)
+    hPinfh = jnp.einsum("ci,cij,cj->c", H, Pinf, H)[:, None]
+    K = jnp.where(ok1, K, 0.0)
+    M = jnp.where(any_good, M, A[:, None])
+    Gn = jnp.where(any_good, Gn, 0.0)
+    hPph = jnp.where(ok0, hPph, hPinfh)
+    hPfh = jnp.where(ok0, hPfh, hPinfh)
+    hPSh = jnp.where(ok0, hPSh, hPinfh)
 
     return IHGPTables(
         log_r=jnp.asarray(log_r_fine, dt_),

@@ -25,14 +25,16 @@ class SourceSlices(NamedTuple):
 
 
 def join_models(
-    models: Sequence[GTNMFModel], params: Sequence[GTNMFParams]
+    models: Sequence[GTNMFModel], params: Sequence[GTNMFParams],
+    lik: float | None = None,
 ):
     """Stack J models into one joint GT-NMF model.
 
     Returns (joint_model, joint_params, slices).  All models must share
     kernels/link/variant (the reference stacks identically-structured
-    per-note models).  The joint observation noise is the mean of the
-    sources' (they are trained on comparable scales).
+    per-note models).  ``lik`` is the explicit mixture observation-noise
+    variance (the reference passes one, source_sep_piano.m:84-88); if None,
+    defaults to the mean of the sources' trained noises.
     """
     m0 = models[0]
     for m in models[1:]:
@@ -46,8 +48,12 @@ def join_models(
     joint_model = m0._replace(D=D_tot, N=N_tot)
 
     W = jax.scipy.linalg.block_diag(*[p.W for p in params])
+    if lik is None:
+        lik_j = jnp.mean(jnp.stack([jnp.asarray(p.lik) for p in params]))
+    else:
+        lik_j = jnp.asarray(lik, jnp.asarray(params[0].lik).dtype)
     joint_params = GTNMFParams(
-        lik=jnp.mean(jnp.stack([jnp.asarray(p.lik) for p in params])),
+        lik=lik_j,
         sub_var=jnp.concatenate([p.sub_var for p in params]),
         sub_len=jnp.concatenate([p.sub_len for p in params]),
         omega=jnp.concatenate([p.omega for p in params]),

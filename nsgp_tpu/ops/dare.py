@@ -60,6 +60,29 @@ def dare_filter(A, h, Q, r, iters: int = 30, ridge: float = 0.0):
     return _sym(P)
 
 
+def dare_residual(P, A, h, Q, r):
+    """Relative fixed-point residual of the filtering DARE at ``P``.
+
+    The reference detects failed ``dare()`` calls and drops those grid
+    points (ihgp_ep_modulator_nmf.m:114-128); the doubling iteration cannot
+    raise, so failures are detected by this residual instead (large or
+    non-finite => no valid stabilizing solution, e.g. an undetectable
+    unstable channel).
+    """
+    Ph = jnp.einsum("...ij,...j->...i", P, h)
+    S = jnp.einsum("...i,...i->...", h, Ph) + r
+    APh = jnp.einsum("...ij,...j->...i", A, Ph)
+    P_next = (
+        jnp.einsum("...ij,...jk,...lk->...il", A, P, A)
+        + Q
+        - APh[..., :, None] * APh[..., None, :] / S[..., None, None]
+    )
+    num = jnp.linalg.norm(P_next - P, axis=(-2, -1))
+    den = 1.0 + jnp.linalg.norm(P, axis=(-2, -1))
+    res = num / den
+    return jnp.where(jnp.isfinite(res), res, jnp.inf)
+
+
 def dlyap_doubling(M, Q, iters: int = 30):
     """Solve X = M X M' + Q by squaring-doubling (rho(M) < 1 required)."""
 

@@ -97,7 +97,7 @@ def make_train_step(
     tf = transform if transform is not None else Transform({})
     dspec = NamedSharding(mesh, P("data"))
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @jax.jit
     def step(params, opt_state, ys, masks):
         import optax
 

@@ -66,10 +66,12 @@ def train_gtnmf_fixed_params(
     y = y / jnp.std(y)
     T = y.shape[0]
 
-    # 1. spectral-mixture filterbank fit (coarse-to-fine Whittle)
+    # 1. spectral-mixture filterbank fit (coarse-to-fine Whittle), staged
+    #    exp -> kernel1 per the reference recipe, with dead-component
+    #    reassignment and exit variance rescaling (fit_probSTFT_SD.m)
     fbkw = dict(num_levels=3, steps_per_level=400)
     fbkw.update(filterbank_kwargs or {})
-    fit = spectral.fit_probstft(y, D, kernel=kernel1, **fbkw)
+    fit = spectral.fit_probstft_staged(y, D, kernel=kernel1, **fbkw)
     sub_len = fit.lengthscales(kernel1)
 
     # 2. steady-state Kalman filterbank transform

@@ -100,6 +100,57 @@ def _whittle_obj(kernel, log_params, w, target, beta):
     return obj + beta * jnp.sum(sigma2)
 
 
+def _reassign_dead(
+    kernel: str,
+    log_params: np.ndarray,
+    D: int,
+    w: np.ndarray,
+    target: np.ndarray,
+    var_y: float,
+    thresh_frac: float,
+):
+    """Move shrunken-away ("dead") components to the worst-fit frequency.
+
+    Ref fit_probSTFT_SD.m:359-415: a component whose variance has shrunk
+    below threshold is re-initialized at the argmax of
+    log(target) - log(model-without-it), with fresh variance/bandwidth
+    (mVar = 1/20 of signal variance, lam = 0.05 there).  Done between
+    coarse-to-fine levels, never after the last one.
+    """
+    p = np.array(log_params)
+    sigma2 = np.exp(p[:D])
+    lam = np.exp(p[D : 2 * D])
+    omega0 = np.pi / (1.0 + np.exp(-p[2 * D : 3 * D]))
+    floor = thresh_frac * var_y / D
+    moved = 0
+    for d in range(D):
+        if sigma2[d] >= floor:
+            continue
+        keep = np.arange(D) != d
+        S_others = np.asarray(
+            mixture_spectrum(
+                kernel,
+                jnp.asarray(sigma2[keep]),
+                jnp.asarray(lam[keep]),
+                jnp.asarray(omega0[keep]),
+                jnp.asarray(w),
+            )
+        )
+        dspec = np.log(np.maximum(target, 1e-20)) - np.log(
+            np.maximum(S_others, 1e-20)
+        )
+        omega0[d] = float(w[int(np.argmax(dspec))])
+        sigma2[d] = var_y / 20.0
+        lam[d] = 0.05
+        moved += 1
+    if moved:
+        p[:D] = np.log(sigma2)
+        p[D : 2 * D] = np.log(lam)
+        q = np.clip(omega0 / np.pi, 1e-5, 1 - 1e-5)
+        p[2 * D : 3 * D] = np.log(q) - np.log1p(-q)
+    return p, moved
+
+
 def fit_probstft(
     y,
     D: int,
@@ -112,6 +163,9 @@ def fit_probstft(
     beta: float = 0.0,
     seed: int = 0,
     init: FilterbankFit | None = None,
+    reassign: bool = True,
+    reassign_frac: float = 0.01,
+    rescale_variance: bool = True,
 ) -> FilterbankFit:
     """Coarse-to-fine Whittle fit of a D-component probabilistic filterbank.
 
@@ -119,6 +173,11 @@ def fit_probstft(
     window from min_win to max_win over num_levels, re-optimizing at each
     level; initialize centers uniformly over (0, pi) and bandwidths from the
     window scale (ref fit_probSTFT_SD.m:200-250 init heuristics).
+
+    ``reassign``: between levels, re-initialize dead components (variance
+    below reassign_frac * var_y / D) at the worst-fit frequency (ref
+    :359-415).  ``rescale_variance``: rescale component variances at exit so
+    they sum to the signal variance (ref :484-490).
     """
     import optax
 
@@ -169,18 +228,49 @@ def fit_probstft(
         return log_params, vals[-1]
 
     obj = jnp.asarray(0.0, dt_)
-    for nwin in wins:
+    for lvl, nwin in enumerate(wins):
         w, target = welch(y, int(nwin))
         # drop DC
         log_params, obj = optimize(log_params, (w[1:], target[1:]),
                                    steps_per_level)
+        if reassign and lvl < len(wins) - 1:
+            p, moved = _reassign_dead(
+                kernel, np.asarray(log_params), D, np.asarray(w[1:]),
+                np.asarray(target[1:]), float(var_y), reassign_frac,
+            )
+            if moved:
+                log_params = jnp.asarray(p, dt_)
 
     sigma2 = jnp.exp(log_params[:D])
     lam = jnp.exp(log_params[D : 2 * D])
     omega0 = jnp.pi * jax.nn.sigmoid(log_params[2 * D : 3 * D])
     noise = jnp.exp(log_params[-1])
+    if rescale_variance:
+        # Exit rescaling (ref fit_probSTFT_SD.m:484-490): component
+        # variances sum to the signal variance.
+        sigma2 = sigma2 * (var_y / jnp.sum(sigma2))
     order = jnp.argsort(omega0)
     return FilterbankFit(
         sigma2=sigma2[order], lam=lam[order], omega=omega0[order],
         noise=noise, obj=obj,
     )
+
+
+def fit_probstft_staged(
+    y,
+    D: int,
+    kernel: str = "matern32",
+    **kwargs,
+) -> FilterbankFit:
+    """Two-stage fit: 'exp' first, then refine with the target kernel.
+
+    The reference's recipe (demo_nonstationary_filterbank.m:45-89 /
+    demo_stationary_filterbank.m): the exp fit is cheap and robust; the
+    Matern refinement starts from it with the LENGTHSCALE preserved
+    (lam_new = LAM_SCALE[kernel] * lam_exp, since ell = scale / lam).
+    """
+    fit = fit_probstft(y, D, kernel="exp", **kwargs)
+    if kernel in ("exp", "matern12"):
+        return fit
+    init = fit._replace(lam=fit.lam * LAM_SCALE[kernel])
+    return fit_probstft(y, D, kernel=kernel, init=init, **kwargs)

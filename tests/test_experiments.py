@@ -1,0 +1,54 @@
+"""Experiment drivers: structure + sanity on reduced configs.
+
+Full-scale runs live in results/ (committed artifacts produced by the
+module CLIs); these tests keep the drivers importable and correct.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_synthetic_driver_structure_and_sanity():
+    from nsgp_tpu.experiments import synthetic
+
+    res = synthetic.run(T=800, seed=0, ep_itts=3, engines=("ep", "giekf"))
+    for eng in ("ep", "giekf"):
+        row = res[eng]
+        assert set(row) >= {"rmse_sig", "rmse_sub", "rmse_mod", "seconds"}
+        assert np.isfinite(row["rmse_sig"])
+        # reconstruction must beat the trivial zero predictor
+        assert row["rmse_sig"] < res["config"]["y_std"]
+    # EP is the strongest engine on signal reconstruction
+    assert res["ep"]["rmse_sig"] <= res["giekf"]["rmse_sig"] * 1.5
+
+
+def test_missing_data_driver_on_real_music():
+    from nsgp_tpu.experiments import missing_data
+
+    path = os.path.join("/root/reference/audio/music", "piano.wav")
+    if not os.path.exists(path):
+        pytest.skip("reference audio not available")
+    res = missing_data.run_file(
+        path, D=6, N=2, train_seconds=0.4, test_seconds=0.4,
+        engines=("ep",), ep_itts=(2,),
+        pretrain_kwargs=dict(num_levels=2, steps_per_level=100),
+    )
+    row = res["rows"][0]
+    assert np.isfinite(row["rmse_gaps"])
+    assert np.isfinite(row["snr_gaps_db"])
+
+
+def test_committed_artifacts_parse():
+    """Any committed results/ artifact must be valid JSON with an
+    'experiment' or per-engine structure."""
+    import json
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)), "results")
+    if not os.path.isdir(root):
+        pytest.skip("no results committed yet")
+    for name in os.listdir(root):
+        if name.endswith(".json"):
+            with open(os.path.join(root, name)) as f:
+                json.load(f)

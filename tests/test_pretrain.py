@@ -106,3 +106,33 @@ def test_segp_recovers_lengthscale():
     x = jnp.fft.irfft(jnp.sqrt(S * T / 2.0) * u, n=T)
     fit = segp.fit_segp(x)
     assert 0.5 * ell_true < float(fit.ell) < 2.0 * ell_true, float(fit.ell)
+
+
+def test_fit_probstft_staged_no_dead_components_on_speech():
+    """D=16 staged (exp -> matern32) fit on real speech: dead-component
+    reassignment (ref fit_probSTFT_SD.m:359-415) must leave no component
+    with negligible variance, and exit rescaling (:484-490) must make the
+    component variances sum to the signal variance."""
+    import os
+
+    import pytest
+
+    from nsgp_tpu.pretrain import spectral
+    from nsgp_tpu.utils.audio import read_wav
+
+    path = "/root/reference/audio/speech/speech0_female.wav"
+    if not os.path.exists(path):
+        pytest.skip("reference audio not available")
+    y, fs = read_wav(path)
+    y = jnp.asarray(y[: fs // 2])
+    y = y / jnp.std(y)
+    D = 16
+    fit = spectral.fit_probstft_staged(
+        y, D, kernel="matern32", num_levels=2, steps_per_level=150
+    )
+    s2 = np.asarray(fit.sigma2)
+    var_y = float(jnp.var(y))
+    assert np.all(s2 >= 0.01 * var_y / D), s2 / var_y  # no dead components
+    np.testing.assert_allclose(s2.sum(), var_y, rtol=1e-10)  # exit rescale
+    assert np.all(np.asarray(fit.omega) > 0)
+    assert np.all(np.asarray(fit.omega) < np.pi)
