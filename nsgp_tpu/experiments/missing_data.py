@@ -62,9 +62,16 @@ def run_file(
     rows = []
     for eng in engines:
         for itts in ep_itts:
-            ek = {"ep_itts": itts} if eng in ("ep", "ihgp") else {}
+            # Reference settings (missing_data_music.m:23-26): ep_fraction
+            # 0.75, damping 0.1 for EP; IHGP needs 0.0025 at many sweeps.
+            ek = {}
+            if eng in ("ep", "ihgp"):
+                ek = {"ep_itts": itts, "ep_fraction": 0.75,
+                      "damping": (0.1,)}
             if eng == "ihgp":
                 ek["grid_lo"] = -4.0
+                if itts > 1:
+                    ek["damping"] = (0.0025,)
             t0 = time.perf_counter()
             r = md.fill_gaps(tm.model, tm.params, y_test, mask, engine=eng,
                              n_samples=20, **ek)

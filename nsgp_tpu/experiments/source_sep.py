@@ -34,40 +34,49 @@ def run(
     D=8,
     N=2,
     kernel1="exp",
-    train_seconds=1.0,
-    test_seconds=1.0,
+    train_seconds=2.0,
+    test_offset=6.0,  # ref test_ind = 96001:192000 — the CHORD section
+    test_seconds=6.0,
     engine="ihgp",
-    ep_itts=8,
-    damping=0.25,
+    ep_itts=10,  # ref ep_itts_test = 10
+    damping=0.025,  # ref ep_damping = 0.025
     pretrain_kwargs=None,
 ):
+    import jax
+
     root = os.path.join(AUDIO_ROOT, "source_sep")
     kw = dict(num_levels=2, steps_per_level=200)
     kw.update(pretrain_kwargs or {})
 
     models, params = [], []
     t0 = time.perf_counter()
-    scale = None
-    for note in NOTES:
-        y, fs = read_wav(os.path.join(root, "training_data",
-                                      f"{instrument}_{note}_train.wav"))
-        n = int(train_seconds * fs)
-        tm = pipeline.train_gtnmf_fixed_params(
-            jnp.asarray(y[:n]), D=D, N=N, kernel1=kernel1, fs=float(fs),
-            filterbank_kwargs=kw,
-        )
-        models.append(tm.model)
-        params.append(tm.params)
+    # Pre-training is many small jitted stages — cheap on the host CPU,
+    # minutes of compile tax on the TPU tunnel.  Only the joint inference
+    # below benefits from the chip.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        for note in NOTES:
+            y, fs = read_wav(os.path.join(root, "training_data",
+                                          f"{instrument}_{note}_train.wav"))
+            n = int(train_seconds * fs)
+            tm = pipeline.train_gtnmf_fixed_params(
+                jnp.asarray(y[:n]), D=D, N=N, kernel1=kernel1, fs=float(fs),
+                filterbank_kwargs=kw,
+            )
+            models.append(tm.model)
+            params.append(jax.device_get(tm.params))
+    params = [jax.device_put(p) for p in params]
     train_s = time.perf_counter() - t0
 
     y_mix, fs = read_wav(os.path.join(root, "test_data",
                                       f"{instrument}_mixture.wav"))
-    n = int(test_seconds * fs)
-    y_mix = y_mix[:n]
+    lo = int(test_offset * fs)
+    hi = lo + int(test_seconds * fs)
+    y_mix = y_mix[lo:hi]
     scale = np.std(y_mix) + 1e-12
     parts = np.stack(
         [read_wav(os.path.join(root, "test_data",
-                               f"{instrument}_{p}_part.wav"))[0][:n]
+                               f"{instrument}_{p}_part.wav"))[0][lo:hi]
          for p in PARTS], axis=-1,
     ) / scale
     y_mix = jnp.asarray(y_mix / scale)

@@ -46,7 +46,10 @@ class EPConfig(NamedTuple):
     ep_itts: int = 3
     damping: tuple = ()  # per-iteration damping; empty = 0.5 everywhere
     moment_chunk: int = 4096
-    parallel: bool = False  # use associative-scan passes for sweeps >= 2
+    parallel: bool = False  # use parallel-in-time passes for sweeps >= 2
+    chunk: int = 512  # blocked-scan chunk length for the parallel path;
+    # 0 = one-level associative scan (ops.pscan — small T only, it
+    # materializes (T, C, bs, bs) elements)
     jitter: float = 0.0  # smoother pseudo-prediction ridge
     channel_axis: str = ""  # mesh axis name to shard the channel dim over
     # (requires an ambient mesh via jax.sharding.set_mesh; see
@@ -152,6 +155,10 @@ def _forward_backward(ssm, sites, cfg: EPConfig):
     kalman.PackedTrajectory for the TPU layout rationale.
     """
     if cfg.parallel:
+        if cfg.chunk:
+            from nsgp_tpu.ops import bscan
+
+            return bscan.blocked_filter_smoother(ssm, sites, cfg.chunk)
         from nsgp_tpu.ops import pscan
 
         ms, Ps = pscan.filter_smoother_with_sites(ssm, sites, jitter=cfg.jitter)
