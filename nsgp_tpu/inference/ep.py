@@ -51,6 +51,9 @@ class EPConfig(NamedTuple):
     # 0 = one-level associative scan (ops.pscan — small T only, it
     # materializes (T, C, bs, bs) elements)
     jitter: float = 0.0  # smoother pseudo-prediction ridge
+    unroll: int = 8  # lax.scan unroll factor for the sequential passes
+    # (TPU while-loop per-step overhead ~16us dominates these tiny-block
+    # scans; unrolling amortizes it at modest compile cost)
     channel_axis: str = ""  # mesh axis name to shard the channel dim over
     # (requires an ambient mesh via jax.sharding.set_mesh; see
     # nsgp_tpu.parallel.mesh.shard_inference_over_channels)
@@ -164,8 +167,9 @@ def _forward_backward(ssm, sites, cfg: EPConfig):
         ms, Ps = pscan.filter_smoother_with_sites(ssm, sites, jitter=cfg.jitter)
         T = ms.shape[0]
         return ms.reshape(T, -1), Ps.reshape(T, -1)
-    fr = kalman.filter_with_sites(ssm, sites, store=True, jitter=cfg.jitter)
-    ms, Ps = kalman.rts_smoother(ssm, fr)
+    fr = kalman.filter_with_sites(ssm, sites, store=True, jitter=cfg.jitter,
+                                  unroll=cfg.unroll)
+    ms, Ps = kalman.rts_smoother(ssm, fr, unroll=cfg.unroll)
     return ms, Ps
 
 
@@ -206,11 +210,12 @@ def ep_infer(
         damp = config.damp(itt)
         if itt == 0:
             fr, lZ, sites = kalman.adf_filter(
-                ssm, y, mask, sites, mom_fn, damp, match_mask=None, store=True
+                ssm, y, mask, sites, mom_fn, damp, match_mask=None, store=True,
+                unroll=config.unroll,
             )
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
-            ms, Ps = kalman.rts_smoother(ssm, fr)
+            ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
         elif config.parallel:
             # Linear-Gaussian pass with fixed sites: O(log T) depth via
             # associative scans.  Skips the reference's last-step forward
@@ -220,9 +225,10 @@ def ep_infer(
             # Reference quirk: later forward passes still re-match the site
             # at the very last step (itt == 1 || k == numel(yall) branch).
             fr, _, sites = kalman.adf_filter(
-                ssm, y, mask, sites, mom_fn, damp, match_mask=last_only, store=True
+                ssm, y, mask, sites, mom_fn, damp, match_mask=last_only, store=True,
+                unroll=config.unroll,
             )
-            ms, Ps = kalman.rts_smoother(ssm, fr)
+            ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
 
         mu_new, var_new = kalman.observable_marginals(ssm, ms, Ps)
         if itt > 0:
@@ -272,10 +278,11 @@ def ep_energy(
     # Sweep 1: ADF — this is the lZ if ep_itts == 1.
     store = config.ep_itts > 1
     fr, lZ, sites = kalman.adf_filter(
-        ssm, y, mask, sites, mom_fn, config.damp(0), match_mask=None, store=store
+        ssm, y, mask, sites, mom_fn, config.damp(0), match_mask=None,
+        store=store, unroll=config.unroll,
     )
     for itt in range(1, config.ep_itts):
-        ms, Ps = kalman.rts_smoother(ssm, fr)
+        ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
         mu, var = kalman.observable_marginals(ssm, ms, Ps)
         sites, lZ = _ep_resite(
             model, params, config, y, mask, mu, var, sites, config.damp(itt)

@@ -53,6 +53,7 @@ class IHGPConfig(NamedTuple):
     grid_hi: float = 4.0
     grid_coarse: int = 32
     grid_fine: int = 200
+    unroll: int = 8  # lax.scan unroll for the sequential steady passes
     parallel: bool = False  # affine associative scans for sweeps >= 2.
     # Default off: the parallel path gathers per-step (T, C, bs, bs) gain
     # tensors whose TPU tile padding is 32x (OOM at T ~ 100k on one chip),
@@ -212,6 +213,7 @@ def _steady_filter_seq(
     mom_fn,
     damp: float,
     adf: bool,
+    unroll: int = 1,
 ):
     """Sequential steady filter with (optionally) interleaved ADF matching.
 
@@ -265,7 +267,7 @@ def _steady_filter_seq(
     m0 = jnp.zeros((C, bs), dt_)
     tt0 = jnp.zeros((C,), dt_)
     (_, _), (ms, idxs, lZ, ttau, tnu) = jax.lax.scan(
-        step, (m0, tt0), (y, mask, sites.ttau, sites.tnu)
+        step, (m0, tt0), (y, mask, sites.ttau, sites.tnu), unroll=unroll
     )
     return ms, idxs, lZ, Sites(ttau, tnu)
 
@@ -298,7 +300,7 @@ def _steady_filter_parallel(ssm, tables, y, mask, sites: Sites):
     return ms.reshape(T, -1), idx
 
 
-def _steady_smoother(ssm, tables, ms, idx, parallel: bool):
+def _steady_smoother(ssm, tables, ms, idx, parallel: bool, unroll: int = 1):
     """Steady RTS smoother on filtered means: ms_k = G (ms_{k+1}) + c_k.
 
     Ref ihgp_ep_modulator_nmf.m:373-442 (mean recursion only; variances come
@@ -336,7 +338,8 @@ def _steady_smoother(ssm, tables, ms, idx, parallel: bool):
         return m, m.reshape(-1)
 
     mT = ms[-1].reshape(C, bs)
-    _, sm_rev = jax.lax.scan(step, mT, (ms[:-1], idx[:-1]), reverse=True)
+    _, sm_rev = jax.lax.scan(step, mT, (ms[:-1], idx[:-1]), reverse=True,
+                             unroll=unroll)
     return jnp.concatenate([sm_rev, ms[-1:]], axis=0)
 
 
@@ -404,7 +407,8 @@ def ihgp_infer(
         damp = config.damp(itt)
         if itt == 0:
             ms, idx, lZ, sites = _steady_filter_seq(
-                ssm, tables, y, mask, sites, mom_fn, damp, adf=True
+                ssm, tables, y, mask, sites, mom_fn, damp, adf=True,
+                unroll=config.unroll,
             )
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
@@ -412,9 +416,11 @@ def ihgp_infer(
             ms, idx = _steady_filter_parallel(ssm, tables, y, mask, sites)
         else:
             ms, idx, _, sites = _steady_filter_seq(
-                ssm, tables, y, mask, sites, mom_fn, damp, adf=False
+                ssm, tables, y, mask, sites, mom_fn, damp, adf=False,
+                unroll=config.unroll,
             )
-        sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel)
+        sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel,
+                              unroll=config.unroll)
 
         mu_new = sm @ Hm
         var_new = tables.hPSh[car, idx]  # (T, C) steady smoothed variances
@@ -465,6 +471,7 @@ def ihgp_energy(
         jnp.zeros((T, ssm.num_channels), ssm.A.dtype),
     )
     _, _, lZ, _ = _steady_filter_seq(
-        ssm, tables, y, mask, sites, mom_fn, config.damp(0), adf=True
+        ssm, tables, y, mask, sites, mom_fn, config.damp(0), adf=True,
+        unroll=config.unroll,
     )
     return -jnp.sum(lZ)

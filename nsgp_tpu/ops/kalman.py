@@ -108,30 +108,57 @@ class PackedTrajectory(NamedTuple):
 
     ms: jax.Array  # (T, C*bs) filtered means
     Ps: jax.Array  # (T, C*bs*bs) filtered covariances
-    Gs: jax.Array  # (T, C*bs*bs) smoother gains: row k holds
-    #   G_{k-1} = P_{k-1} A' Pp_k^{-1} (row 0 is zeros)
-    Pps: jax.Array  # (T, C*bs*bs) pseudo-predictions Pp_k = A P_{k-1} A' + Q
-    #   (row 0 is zeros; both computed in the forward pass where P_{k-1}
-    #   and Pp_k coexist, so the smoother needs no per-step solves)
 
 
-def _smoother_gain(ssm: BlockSSM, P_prev, Pp):
-    """G = P_prev A' Pp^{-1} per channel (pad_eye keeps padded dims regular)."""
-    PA = jnp.einsum("cij,ckj->cik", P_prev, ssm.A)  # P A'
-    Gt = jnp.linalg.solve(
-        jnp.swapaxes(Pp + ssm.pad_eye, -1, -2), jnp.swapaxes(PA, -1, -2)
-    )
-    return jnp.swapaxes(Gt, -1, -2)
+def smoother_gains_chunked(ssm: BlockSSM, Ps_flat, jitter: float = 0.0,
+                           chunk: int = 4096):
+    """Smoother gains G_k = P_k A' (A P_k A' + Q)^{-1} for ALL steps.
+
+    Computed OUTSIDE the scans as chunked batched solves: an in-scan
+    per-step (C, bs, bs) LU costs ~40 us/step on a v5e (it dominated the
+    forward pass); one big batched solve over (chunk*C, bs, bs) runs at
+    full vector throughput.  Chunking bounds the transiently-padded
+    (chunk, C, bs, bs) intermediates (see PackedTrajectory).
+
+    Returns (Gs (T, C*bs*bs), Pps (T, C*bs*bs)) with Pp_k = A P_k A' + Q
+    (the pseudo-prediction INTO step k+1).
+    """
+    C, bs = ssm.H.shape
+    A, Q = ssm.A, ssm.Q
+    eyeb = jitter * jnp.eye(bs, dtype=A.dtype)
+    T = Ps_flat.shape[0]
+    nchunk = -(-T // chunk)
+    pad = nchunk * chunk - T
+    Pp_flat = jnp.pad(Ps_flat, ((0, pad), (0, 0)), constant_values=0.0)
+    # padded rows get P = pad_eye-ish via the solve guard below
+
+    def f(Pb):
+        P = Pb.reshape(-1, C, bs, bs)
+        Pp = jnp.einsum("cij,ncjk,clk->ncil", A, P, A) + Q[None]
+        Pp = 0.5 * (Pp + jnp.swapaxes(Pp, -1, -2)) + eyeb
+        PA = jnp.einsum("ncij,ckj->ncik", P, A)
+        Gt = jnp.linalg.solve(
+            jnp.swapaxes(Pp + ssm.pad_eye[None] + jnp.eye(bs, dtype=A.dtype)
+                         * jnp.all(Pb == 0.0, axis=-1)[:, None, None, None],
+                         -1, -2),
+            jnp.swapaxes(PA, -1, -2),
+        )
+        G = jnp.swapaxes(Gt, -1, -2)
+        n = P.shape[0]
+        return G.reshape(n, -1), Pp.reshape(n, -1)
+
+    Gs, Pps = jax.lax.map(f, Pp_flat.reshape(nchunk, chunk, -1))
+    return Gs.reshape(-1, C * bs * bs)[:T], Pps.reshape(-1, C * bs * bs)[:T]
 
 
 def filter_with_sites(
-    ssm: BlockSSM, sites: Sites, store: bool = True, jitter: float = 0.0
+    ssm: BlockSSM, sites: Sites, store: bool = True, jitter: float = 0.0,
+    unroll: int = 1,
 ) -> PackedTrajectory:
     """Linear-Gaussian forward filter given fixed EP sites.
 
     Used for EP sweeps >= 2 where the sites do not change during the pass
     (ref gf_ep_modulator_nmf.m:126-184 with the itt>1 branch inactive).
-    Emits the smoother gains on the fly (see PackedTrajectory).
     """
     m0 = jnp.zeros(ssm.H.shape, ssm.A.dtype)
     P0 = ssm.Pinf
@@ -141,59 +168,52 @@ def filter_with_sites(
         m, P, first = carry
         mp, Pp = jax.lax.cond(first, lambda: (m, P), lambda: predict(ssm, m, P))
         Pp = 0.5 * (Pp + jnp.swapaxes(Pp, -1, -2)) + eyeb
-        G = _smoother_gain(ssm, P, Pp)
-        G = jnp.where(first, 0.0, G)
         ttau_k, tnu_k = site_k
         m, P = site_update(ssm, mp, Pp, ttau_k, tnu_k)
-        out = (
-            (m.reshape(-1), P.reshape(-1), G.reshape(-1),
-             jnp.where(first, 0.0, Pp).reshape(-1))
-            if store
-            else None
-        )
+        out = (m.reshape(-1), P.reshape(-1)) if store else None
         return (m, P, jnp.zeros_like(first)), out
 
     first = jnp.asarray(True)
-    (mT, PT, _), outs = jax.lax.scan(step, (m0, P0, first), (sites.ttau, sites.tnu))
+    (mT, PT, _), outs = jax.lax.scan(step, (m0, P0, first),
+                                     (sites.ttau, sites.tnu), unroll=unroll)
     if store:
-        return PackedTrajectory(ms=outs[0], Ps=outs[1], Gs=outs[2], Pps=outs[3])
-    z = jnp.zeros((1, PT.size), PT.dtype)
-    return PackedTrajectory(ms=mT.reshape(1, -1), Ps=PT.reshape(1, -1), Gs=z, Pps=z)
+        return PackedTrajectory(ms=outs[0], Ps=outs[1])
+    return PackedTrajectory(ms=mT.reshape(1, -1), Ps=PT.reshape(1, -1))
 
 
-def rts_smoother(ssm: BlockSSM, traj: PackedTrajectory, jitter: float = 0.0):
+def rts_smoother(ssm: BlockSSM, traj: PackedTrajectory, jitter: float = 0.0,
+                 unroll: int = 1):
     """RTS smoothing pass over a stored packed trajectory.
 
     Ref gf_ep_modulator_nmf.m:207-234 — per-channel version.  The smoother
-    gains were already emitted by the forward pass, so this is a pure affine
-    backward recursion (no solves):
+    gains for ALL steps come from one chunked batched solve
+    (smoother_gains_chunked), so the backward scan is a pure affine
+    recursion (no per-step solves):
 
         m_k <- m_k + G_k (m_{k+1} - A m_k)
         P_k <- P_k + G_k (P_{k+1} - Pp_{k+1}) G_k'
-
-    ``jitter`` is accepted for API compatibility; the ridge is applied in
-    the forward pass where Pp is formed.
     """
-    del jitter
     C, bs = ssm.H.shape
     A = ssm.A
     unm = lambda v: v.reshape(C, bs)
     unP = lambda v: v.reshape(C, bs, bs)
+    Gs, Pps = smoother_gains_chunked(ssm, traj.Ps[:-1], jitter)
 
     def step(carry, inp):
         m_next, P_next = carry
-        ms_k, Ps_k, G_k1, Pp_k1 = inp
+        ms_k, Ps_k, G_k, Pp_k1 = inp
         ms_k, Ps_k = unm(ms_k), unP(Ps_k)
-        G, Pp1 = unP(G_k1), unP(Pp_k1)
+        G, Pp1 = unP(G_k), unP(Pp_k1)
         m = ms_k + jnp.einsum("cij,cj->ci", G, m_next - jnp.einsum("cij,cj->ci", A, ms_k))
         P = Ps_k + jnp.einsum("cij,cjk,clk->cil", G, P_next - Pp1, G)
         P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
         return (m, P), (m.reshape(-1), P.reshape(-1))
 
     mT, PT = unm(traj.ms[-1]), unP(traj.Ps[-1])
-    # Row k+1 of Gs/Pps holds G_k and Pp_{k+1} (emitted on the forward pass).
-    xs = (traj.ms[:-1], traj.Ps[:-1], traj.Gs[1:], traj.Pps[1:])
-    (_, _), (ms_rev, Ps_rev) = jax.lax.scan(step, (mT, PT), xs, reverse=True)
+    # Row k of Gs/Pps holds G_k and Pp_{k+1} (both derived from P_k).
+    xs = (traj.ms[:-1], traj.Ps[:-1], Gs, Pps)
+    (_, _), (ms_rev, Ps_rev) = jax.lax.scan(step, (mT, PT), xs, reverse=True,
+                                            unroll=unroll)
     ms = jnp.concatenate([ms_rev, traj.ms[-1:]], axis=0)
     Ps = jnp.concatenate([Ps_rev, traj.Ps[-1:]], axis=0)
     return ms, Ps
@@ -225,6 +245,7 @@ def adf_filter(
     damp: float,
     match_mask: Optional[jax.Array] = None,  # (T,) bool: do moment matching
     store: bool = True,
+    unroll: int = 1,
 ):
     """Forward filter WITH interleaved moment matching (ADF / first EP pass).
 
@@ -243,8 +264,6 @@ def adf_filter(
         m, P, first = carry
         y_k, obs_k, mm_k, ttau_k, tnu_k = inp
         mp, Pp = jax.lax.cond(first, lambda: (m, P), lambda: predict(ssm, m, P))
-        G = _smoother_gain(ssm, P, Pp)
-        G = jnp.where(first, 0.0, G)
 
         fmu, PH, HPH = marginals(ssm, mp, Pp)
 
@@ -263,22 +282,16 @@ def adf_filter(
         tn_eff = jnp.where(obs_k, tnu_new, 0.0)
         m, P = site_update(ssm, mp, Pp, tt_eff, tn_eff)
 
-        out = (
-            (m.reshape(-1), P.reshape(-1), G.reshape(-1),
-             jnp.where(first, 0.0, Pp).reshape(-1))
-            if store
-            else None
-        )
+        out = (m.reshape(-1), P.reshape(-1)) if store else None
         return (m, P, jnp.zeros_like(first)), (out, lZk, ttau_new, tnu_new)
 
     first = jnp.asarray(True)
     (mT, PT, _), (outs, lZ, ttau, tnu) = jax.lax.scan(
-        step, (m0, P0, first), (y, mask, match_mask, sites.ttau, sites.tnu)
+        step, (m0, P0, first), (y, mask, match_mask, sites.ttau, sites.tnu),
+        unroll=unroll,
     )
     if store:
-        traj = PackedTrajectory(ms=outs[0], Ps=outs[1], Gs=outs[2], Pps=outs[3])
+        traj = PackedTrajectory(ms=outs[0], Ps=outs[1])
     else:
-        z = jnp.zeros((1, PT.size), PT.dtype)
-        traj = PackedTrajectory(ms=mT.reshape(1, -1), Ps=PT.reshape(1, -1),
-                                Gs=z, Pps=z)
+        traj = PackedTrajectory(ms=mT.reshape(1, -1), Ps=PT.reshape(1, -1))
     return traj, lZ, Sites(ttau, tnu)

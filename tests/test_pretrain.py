@@ -136,3 +136,21 @@ def test_fit_probstft_staged_no_dead_components_on_speech():
     np.testing.assert_allclose(s2.sum(), var_y, rtol=1e-10)  # exit rescale
     assert np.all(np.asarray(fit.omega) > 0)
     assert np.all(np.asarray(fit.omega) < np.pi)
+
+
+def test_gppad_learn_lengthscale_recovers_timescale():
+    """Laplace-evidence grid search (LearnLengthsGPPAD equivalent) picks a
+    demodulation timescale within an octave of the generative truth."""
+    T, ell_true = 4000, 200.0
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    S = gppad.se_spectrum(T, ell_true, 1.0)
+    u = jax.random.normal(k1, (T // 2 + 1,)) + 1j * jax.random.normal(
+        jax.random.PRNGKey(3), (T // 2 + 1,)
+    )
+    x = jnp.fft.irfft(jnp.sqrt(S * T / 2.0) * u, n=T)
+    y = jax.nn.softplus(x) * jax.random.normal(k2, (T,))
+    ells = [25.0, 50.0, 100.0, 200.0, 400.0, 800.0, 1600.0]
+    best, evs = gppad.learn_lengthscale(y, ells, steps=300)
+    assert np.all(np.isfinite(np.asarray(evs)))
+    assert 0.5 * ell_true <= best <= 2.0 * ell_true, best
