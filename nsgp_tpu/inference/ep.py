@@ -54,6 +54,10 @@ class EPConfig(NamedTuple):
     unroll: int = 8  # lax.scan unroll factor for the sequential passes
     # (TPU while-loop per-step overhead ~16us dominates these tiny-block
     # scans; unrolling amortizes it at modest compile cost)
+    backend: str = "xla"  # 'xla' | 'pallas': 'pallas' runs the fixed-sites
+    # forward/backward passes (sweeps >= 2) as fused VMEM-resident kernels
+    # (ops/pallas_kalman.py) — one kernel per pass instead of T scan steps
+    pallas_block: int = 256  # time-block length of the fused kernels
     channel_axis: str = ""  # mesh axis name to shard the channel dim over
     # (requires an ambient mesh via jax.sharding.set_mesh; see
     # nsgp_tpu.parallel.mesh.shard_inference_over_channels)
@@ -157,6 +161,14 @@ def _forward_backward(ssm, sites, cfg: EPConfig):
     Returns FLATTENED smoothed trajectories (T, C*bs) / (T, C*bs*bs) — see
     kalman.PackedTrajectory for the TPU layout rationale.
     """
+    if cfg.backend == "pallas":
+        from nsgp_tpu.ops import pallas_kalman
+
+        # Mosaic on TPU; the Pallas interpreter elsewhere (tests on CPU).
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return pallas_kalman.filter_smoother_pallas(
+            ssm, sites, cfg.pallas_block, interpret
+        )
     if cfg.parallel:
         if cfg.chunk:
             from nsgp_tpu.ops import bscan
@@ -216,10 +228,11 @@ def ep_infer(
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
             ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
-        elif config.parallel:
-            # Linear-Gaussian pass with fixed sites: O(log T) depth via
-            # associative scans.  Skips the reference's last-step forward
-            # re-match quirk (same EP fixed point, slightly different path).
+        elif config.parallel or config.backend == "pallas":
+            # Linear-Gaussian pass with fixed sites: associative scans
+            # (parallel) or fused Pallas kernels (backend='pallas').  Both
+            # skip the reference's last-step forward re-match quirk (same
+            # EP fixed point, slightly different path).
             ms, Ps = _forward_backward(ssm, sites, config)
         else:
             # Reference quirk: later forward passes still re-match the site

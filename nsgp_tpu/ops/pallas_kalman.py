@@ -1,0 +1,301 @@
+"""Fused Pallas TPU kernels for the sequential Kalman filter / RTS smoother.
+
+The XLA lax.scan path pays ~16 us of while-loop/dispatch overhead per step —
+at T = 100k that floor (not arithmetic) dominates the EP sweeps.  These
+kernels run the whole recursion inside ONE kernel: the (C, bs) state lives
+in VMEM scratch across a sequential grid over time blocks, each block
+streaming its (B, C) site rows in and its flattened moments out.  Per-step
+algebra is fully unrolled over the (static, tiny) block size bs with
+(1, C)-shaped VPU ops — a few hundred vector ops per step.
+
+Layout: channel-on-lanes.  Model constants are reshaped to (bs*bs, C) /
+(bs, C); trajectories are emitted b-major as (T, bs*C) / (T, bs*bs*C)
+(flat rows — see kalman.PackedTrajectory for why (T, C, bs, bs) is fatal).
+The ep engine converts to its C-major convention once at the end.
+
+Assumes the stationary discretization Q = Pinf - A Pinf A' (the BlockSSM
+default): then one prediction step from (0, Pinf) is exactly (0, Pinf), so
+the reference's skip-first-predict quirk needs no special case.
+
+The smoother-gain solve uses an unrolled Cholesky of Pp (+1 on zero-padded
+diagonal dims, whose state/covariance are exactly zero throughout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nsgp_tpu.ops.kalman import PackedTrajectory, Sites
+from nsgp_tpu.ops.ssm import BlockSSM
+
+
+def _consts(ssm: BlockSSM):
+    """(bs*bs, C) / (bs, C) channel-on-lanes constants from a BlockSSM."""
+    C, bs = ssm.H.shape
+    to2 = lambda M: jnp.transpose(M, (1, 2, 0)).reshape(bs * bs, C)
+    A2 = to2(ssm.A)
+    Q2 = to2(ssm.Q)
+    Pi2 = to2(ssm.Pinf)
+    H2 = jnp.transpose(ssm.H, (1, 0))  # (bs, C)
+    pad2 = jnp.transpose(
+        jnp.diagonal(ssm.pad_eye, axis1=-2, axis2=-1), (1, 0)
+    )  # (bs, C), 1 on padded dims
+    return A2, Q2, Pi2, H2, pad2
+
+
+def _rows(ref, n):
+    """Read an (n, C) ref as a list of (1, C) rows."""
+    return [ref[i : i + 1, :] for i in range(n)]
+
+
+def _mat(ref, bs):
+    """Read a (bs*bs, C) ref as a bs x bs list-of-lists of (1, C) rows."""
+    return [[ref[i * bs + j : i * bs + j + 1, :] for j in range(bs)]
+            for i in range(bs)]
+
+
+def _matmul(A, B, bs):  # (A @ B)[i][j] = sum_k A[i][k] B[k][j]
+    return [[sum(A[i][k] * B[k][j] for k in range(bs)) for j in range(bs)]
+            for i in range(bs)]
+
+
+def _matmul_t(A, B, bs):  # (A @ B')[i][j] = sum_k A[i][k] B[j][k]
+    return [[sum(A[i][k] * B[j][k] for k in range(bs)) for j in range(bs)]
+            for i in range(bs)]
+
+
+def _matvec(A, v, bs):
+    return [sum(A[i][k] * v[k] for k in range(bs)) for i in range(bs)]
+
+
+def _chol(M, bs, eps=1e-30):
+    """Unrolled Cholesky of a list-of-lists SPD matrix of (1, C) entries."""
+    L = [[None] * bs for _ in range(bs)]
+    inv_d = [None] * bs
+    for j in range(bs):
+        s = M[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = d
+        inv_d[j] = 1.0 / d
+        for i in range(j + 1, bs):
+            s = M[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d[j]
+    return L, inv_d
+
+
+def _chol_solve_vec(L, inv_d, b, bs):
+    """Solve (L L') x = b for one column of (1, C) entries."""
+    y = [None] * bs
+    for i in range(bs):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * inv_d[i]
+    x = [None] * bs
+    for i in reversed(range(bs)):
+        s = y[i]
+        for k in range(i + 1, bs):
+            s = s - L[k][i] * x[k]
+        x[i] = s * inv_d[i]
+    return x
+
+
+def _fwd_kernel(ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref, H_ref,
+                ms_ref, Ps_ref, m_s, P_s, *, bs, B):
+    C = ttau_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        m_s[:] = jnp.zeros((bs, C), ms_ref.dtype)
+        P_s[:] = Pi_ref[:]
+
+    A = _mat(A_ref, bs)
+    Q = _mat(Q_ref, bs)
+    H = _rows(H_ref, bs)
+
+    def body(j, _):
+        tt = ttau_ref[pl.ds(j, 1), :]
+        tn = tnu_ref[pl.ds(j, 1), :]
+        m = _rows(m_s, bs)
+        P = _mat(P_s, bs)
+        # predict (exact no-op at the global first step: m=0, P=Pinf,
+        # stationary Q)
+        mp = _matvec(A, m, bs)
+        AP = _matmul(A, P, bs)
+        Pp = _matmul_t(AP, A, bs)
+        Pp = [[Pp[i][k] + Q[i][k] for k in range(bs)] for i in range(bs)]
+        # measurement marginals
+        fmu = sum(H[i] * mp[i] for i in range(bs))
+        PH = [sum(Pp[i][k] * H[k] for k in range(bs)) for i in range(bs)]
+        HPH = sum(H[i] * PH[i] for i in range(bs))
+        # branch-free site update
+        z = tt * HPH + 1.0
+        v = (tt * fmu - tn) / z
+        w = tt / z
+        for i in range(bs):
+            m_s[i : i + 1, :] = mp[i] - PH[i] * v
+        for i in range(bs):
+            for k in range(bs):
+                P_s[i * bs + k : i * bs + k + 1, :] = Pp[i][k] - w * PH[i] * PH[k]
+        ms_ref[pl.ds(j, 1), :] = m_s[:].reshape(1, bs * C)
+        Ps_ref[pl.ds(j, 1), :] = P_s[:].reshape(1, bs * bs * C)
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def _bwd_kernel(ms_ref, Ps_ref, A_ref, Q_ref, H_ref, pad_ref,
+                sm_ref, sP_ref, mn_s, Pn_s, *, bs, B):
+    C = ms_ref.shape[1] // bs
+    A = _mat(A_ref, bs)
+    Q = _mat(Q_ref, bs)
+    pad = _rows(pad_ref, bs)
+
+    def load_step(j):
+        m = [ms_ref[pl.ds(j, 1), i * C : (i + 1) * C] for i in range(bs)]
+        P = [[Ps_ref[pl.ds(j, 1), (i * bs + k) * C : (i * bs + k + 1) * C]
+              for k in range(bs)] for i in range(bs)]
+        return m, P
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        # Initialize the carry so that the (global) last step's smoothed
+        # moments equal its filtered ones: m_next = A m_L, P_next = Pp_{L+1}.
+        m, P = load_step(B - 1)
+        mp = _matvec(A, m, bs)
+        AP = _matmul(A, P, bs)
+        Pp = _matmul_t(AP, A, bs)
+        for i in range(bs):
+            mn_s[i : i + 1, :] = mp[i]
+            for k in range(bs):
+                Pn_s[i * bs + k : i * bs + k + 1, :] = Pp[i][k] + Q[i][k]
+
+    def body(jj, _):
+        j = B - 1 - jj
+        m, P = load_step(j)
+        mp_next = _rows(mn_s, bs)  # smoothed m_{k+1}
+        Pn = _mat(Pn_s, bs)  # smoothed P_{k+1}
+        AP = _matmul(A, P, bs)  # A P_k (= (P_k A')')
+        Pp = _matmul_t(AP, A, bs)
+        Pp = [[Pp[i][k] + Q[i][k] for k in range(bs)] for i in range(bs)]
+        # G = P_k A' Pp^{-1}: solve (Pp + pad) G' = A P_k column-wise
+        M = [[Pp[i][k] + (pad[i] if i == k else 0.0) for k in range(bs)]
+             for i in range(bs)]
+        L, inv_d = _chol(M, bs)
+        # G' = Pp^{-1} (A P) (P symmetric), so solving column l of A P gives
+        # (G')[:, l] = G[l, :] — i.e. row l of G.
+        G = [None] * bs
+        for l in range(bs):
+            col = [AP[i][l] for i in range(bs)]  # column l of A P_k
+            G[l] = _chol_solve_vec(L, inv_d, col, bs)
+        Am = _matvec(A, m, bs)
+        dm = [mp_next[i] - Am[i] for i in range(bs)]
+        m_sm = [m[i] + sum(G[i][k] * dm[k] for k in range(bs)) for i in range(bs)]
+        dP = [[Pn[i][k] - Pp[i][k] for k in range(bs)] for i in range(bs)]
+        GdP = _matmul(G, dP, bs)
+        GdPG = _matmul_t(GdP, G, bs)
+        P_sm = [[P[i][k] + GdPG[i][k] for k in range(bs)] for i in range(bs)]
+        for i in range(bs):
+            mn_s[i : i + 1, :] = m_sm[i]
+            for k in range(bs):
+                Pn_s[i * bs + k : i * bs + k + 1, :] = P_sm[i][k]
+        sm_ref[pl.ds(j, 1), :] = mn_s[:].reshape(1, bs * C)
+        sP_ref[pl.ds(j, 1), :] = Pn_s[:].reshape(1, bs * bs * C)
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def _pad_sites(sites: Sites, B: int):
+    T = sites.ttau.shape[0]
+    pad = (-T) % B
+    if pad:
+        z = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
+        )
+        return Sites(z(sites.ttau), z(sites.tnu)), T
+    return sites, T
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def filter_smoother_pallas(
+    ssm: BlockSSM, sites: Sites, block: int = 256, interpret: bool = False
+):
+    """Fused forward filter + RTS smoother with fixed EP sites.
+
+    Returns C-major flattened smoothed trajectories (ms (T, C*bs),
+    Ps (T, C*bs*bs)) — same convention as kalman.rts_smoother.
+    Zero-site padding steps beyond T are pure predictions, which are exactly
+    inert for the smoothing recursion at the T-1 junction.
+    """
+    C, bs = ssm.H.shape
+    dt_ = ssm.A.dtype
+    A2, Q2, Pi2, H2, pad2 = _consts(ssm)
+    sites_p, T = _pad_sites(sites, block)
+    Tp = sites_p.ttau.shape[0]
+    nblk = Tp // block
+
+    const_spec = lambda n: pl.BlockSpec((n, C), lambda i: (0, 0))
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, bs=bs, B=block),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            const_spec(bs * bs), const_spec(bs * bs), const_spec(bs * bs),
+            const_spec(bs),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, bs * C), lambda i: (i, 0)),
+            pl.BlockSpec((block, bs * bs * C), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, C), dt_),
+            pltpu.VMEM((bs * bs, C), dt_),
+        ],
+        interpret=interpret,
+    )
+    ms_b, Ps_b = fwd(sites_p.ttau, sites_p.tnu, A2, Q2, Pi2, H2)
+
+    bwd = pl.pallas_call(
+        functools.partial(_bwd_kernel, bs=bs, B=block),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
+            const_spec(bs * bs), const_spec(bs * bs), const_spec(bs),
+            const_spec(bs),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, C), dt_),
+            pltpu.VMEM((bs * bs, C), dt_),
+        ],
+        interpret=interpret,
+    )
+    sm_b, sP_b = bwd(ms_b, Ps_b, A2, Q2, H2, pad2)
+
+    # b-major (T, bs[, bs], C) -> C-major (T, C*bs[*bs]) once at the end
+    sm = jnp.transpose(sm_b[:T].reshape(T, bs, C), (0, 2, 1)).reshape(T, -1)
+    sP = jnp.transpose(sP_b[:T].reshape(T, bs, bs, C), (0, 3, 1, 2)).reshape(T, -1)
+    return sm, sP
