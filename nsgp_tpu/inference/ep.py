@@ -221,13 +221,25 @@ def ep_infer(
     for itt in range(config.ep_itts):
         damp = config.damp(itt)
         if itt == 0:
-            fr, lZ, sites = kalman.adf_filter(
-                ssm, y, mask, sites, mom_fn, damp, match_mask=None, store=True,
-                unroll=config.unroll,
-            )
+            if config.backend == "pallas":
+                from nsgp_tpu.ops import pallas_kalman
+
+                interpret = jax.default_backend() not in ("tpu", "axon")
+                ms_b, Ps_b, lZ, sites = pallas_kalman.adf_filter_pallas(
+                    model.moment_params(), ssm, params.W, params.lik, y, mask,
+                    damp, config.pallas_block, interpret,
+                )
+                ms, Ps = pallas_kalman.smoother_pallas_bmajor(
+                    ssm, ms_b, Ps_b, T, config.pallas_block, interpret
+                )
+            else:
+                fr, lZ, sites = kalman.adf_filter(
+                    ssm, y, mask, sites, mom_fn, damp, match_mask=None,
+                    store=True, unroll=config.unroll,
+                )
+                ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
-            ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
         elif config.parallel or config.backend == "pallas":
             # Linear-Gaussian pass with fixed sites: associative scans
             # (parallel) or fused Pallas kernels (backend='pallas').  Both

@@ -215,6 +215,113 @@ def _bwd_kernel(ms_ref, Ps_ref, A_ref, Q_ref, H_ref, pad_ref,
     jax.lax.fori_loop(0, B, body, 0)
 
 
+_LOG2PI = 1.8378770664093453
+_ZFLOOR = 1e-10  # ref likModulatorNMFPower.m:28,55 floor on Z
+
+
+def _adf_kernel(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
+                H_ref, W_ref, xi_ref, wn_ref, sn2_ref,
+                ms_ref, Ps_ref, lZ_ref, tto_ref, tno_ref, m_s, P_s,
+                *, bs, B, D, N, damp, link, variant):
+    """Forward filter with interleaved ADF moment matching (EP sweep 1).
+
+    Per step: predict -> cubature moment match at the predicted marginal
+    (analytic z-integral + sigma points over the N modulators, max-shifted
+    accumulation; see ops/moments.py) -> damped site update -> branch-free
+    measurement update.  Everything stays in VMEM.
+    """
+    C = ttau_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        m_s[:] = jnp.zeros((bs, C), ms_ref.dtype)
+        P_s[:] = Pi_ref[:]
+
+    A = _mat(A_ref, bs)
+    Q = _mat(Q_ref, bs)
+    H = _rows(H_ref, bs)
+    Wt = W_ref[:]  # (N, D)
+    xi = xi_ref[:]  # (S, N)
+    wn = wn_ref[:]  # (S, 1)
+    sn2 = sn2_ref[0, 0]
+
+    def body(j, _):
+        tt = ttau_ref[pl.ds(j, 1), :]
+        tn = tnu_ref[pl.ds(j, 1), :]
+        y_k = y_ref[pl.ds(j, 1), :]  # (1, 1)
+        obs = obs_ref[pl.ds(j, 1), :]  # (1, 1) 0/1
+        m = _rows(m_s, bs)
+        P = _mat(P_s, bs)
+        mp = _matvec(A, m, bs)
+        AP = _matmul(A, P, bs)
+        Pp = _matmul_t(AP, A, bs)
+        Pp = [[Pp[i][k] + Q[i][k] for k in range(bs)] for i in range(bs)]
+        fmu = sum(H[i] * mp[i] for i in range(bs))  # (1, C)
+        PH = [sum(Pp[i][k] * H[k] for k in range(bs)) for i in range(bs)]
+        HPH = sum(H[i] * PH[i] for i in range(bs))  # (1, C)
+
+        # ---- cubature moments at the predicted marginal ------------------
+        mu_z, mu_g = fmu[:, :D], fmu[:, D:]
+        s2_z, s2_g = HPH[:, :D], HPH[:, D:]
+        xn = mu_g + jnp.sqrt(jnp.maximum(s2_g, 0.0)) * xi  # (S, N)
+        lk = jax.nn.softplus(xn) if link == "softplus" else jnp.exp(xn)
+        a = jnp.zeros((xi.shape[0], D), fmu.dtype)
+        for n in range(N):
+            a = a + lk[:, n : n + 1] * Wt[n : n + 1, :]
+        if variant == "sq":
+            a = jnp.sqrt(jnp.maximum(a, 1e-12))
+        s2e = sn2 + jnp.sum(a * a * s2_z, axis=1, keepdims=True)  # (S, 1)
+        mean = jnp.sum(a * mu_z, axis=1, keepdims=True)
+        resid = y_k[0, 0] - mean
+        log_norm = -0.5 * (resid * resid / s2e + jnp.log(s2e) + _LOG2PI)
+        lmax = jnp.max(log_norm)
+        lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
+        norm = jnp.exp(log_norm - lmax)  # (S, 1)
+        Z0 = jnp.maximum(jnp.sum(wn * norm), _ZFLOOR)
+        lZk = jnp.log(Z0) + lmax
+        Zi = 1.0 / Z0
+        rs = resid / s2e
+        wns = wn * norm
+        dlZ_z = Zi * jnp.sum(wns * rs * a, axis=0, keepdims=True)  # (1, D)
+        dmu_g = (xn - mu_g) / s2_g
+        dlZ_g = Zi * jnp.sum(wns * dmu_g, axis=0, keepdims=True)  # (1, N)
+        d2_z = Zi * jnp.sum(wns * (a * a) * (rs * rs - 1.0 / s2e), axis=0,
+                            keepdims=True) - dlZ_z * dlZ_z
+        d2_g = Zi * jnp.sum(wns * (dmu_g * dmu_g - 1.0 / s2_g), axis=0,
+                            keepdims=True) - dlZ_g * dlZ_g
+        dlZ = jnp.concatenate([dlZ_z, dlZ_g], axis=1)  # (1, C)
+        d2lZ = jnp.concatenate([d2_z, d2_g], axis=1)
+
+        # ---- damped ADF site update (moment_match, frac = 1) --------------
+        denom = 1.0 + d2lZ * HPH
+        tt_new = (1.0 - damp) * tt + damp * (-d2lZ / denom)
+        tn_new = (1.0 - damp) * tn + damp * ((dlZ - fmu * d2lZ) / denom)
+        tt_new = jnp.maximum(tt_new, 0.0)
+        # unobserved steps keep their (clamped) incoming sites and lZ = 0
+        tt_new = jnp.where(obs > 0, tt_new, jnp.maximum(tt, 0.0))
+        tn_new = jnp.where(obs > 0, tn_new, tn)
+        lZk = jnp.where(obs[0, 0] > 0, lZk, 0.0)
+        tt_eff = jnp.where(obs > 0, tt_new, 0.0)
+        tn_eff = jnp.where(obs > 0, tn_new, 0.0)
+
+        z = tt_eff * HPH + 1.0
+        v = (tt_eff * fmu - tn_eff) / z
+        w = tt_eff / z
+        for i in range(bs):
+            m_s[i : i + 1, :] = mp[i] - PH[i] * v
+        for i in range(bs):
+            for k in range(bs):
+                P_s[i * bs + k : i * bs + k + 1, :] = Pp[i][k] - w * PH[i] * PH[k]
+        ms_ref[pl.ds(j, 1), :] = m_s[:].reshape(1, bs * C)
+        Ps_ref[pl.ds(j, 1), :] = P_s[:].reshape(1, bs * bs * C)
+        lZ_ref[pl.ds(j, 1), :] = lZk.reshape(1, 1)
+        tto_ref[pl.ds(j, 1), :] = tt_new
+        tno_ref[pl.ds(j, 1), :] = tn_new
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
 def _pad_sites(sites: Sites, B: int):
     T = sites.ttau.shape[0]
     pad = (-T) % B
@@ -224,6 +331,128 @@ def _pad_sites(sites: Sites, B: int):
         )
         return Sites(z(sites.ttau), z(sites.tnu)), T
     return sites, T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+def adf_filter_pallas(
+    mp,  # ops.moments.MomentParams (hashable static)
+    ssm: BlockSSM,
+    W: jax.Array,  # (D, N) NMF weights
+    sn2,  # () observation noise variance
+    y: jax.Array,  # (T,)
+    mask: jax.Array,  # (T,) bool
+    damp: float,
+    block: int = 256,
+    interpret: bool = False,
+):
+    """Fused ADF forward sweep (EP sweep 1) with in-kernel cubature moments.
+
+    Returns (ms_b (Tp, bs*C), Ps_b (Tp, bs*bs*C), lZ (T,), Sites (T, C))
+    with ms/Ps in the kernels' b-major flat layout over the PADDED length
+    (feed directly to the backward kernel via smoother_pallas_bmajor).
+    """
+    from nsgp_tpu.ops.moments import sigma_points
+
+    C, bs = ssm.H.shape
+    D, N = mp.D, mp.N
+    dt_ = ssm.A.dtype
+    T = y.shape[0]
+    sites = Sites(jnp.zeros((T, C), dt_), jnp.zeros((T, C), dt_))
+    wn, xi = sigma_points(mp)  # (S,), (S, N)
+    S = wn.shape[0]
+    A2, Q2, Pi2, H2, _ = _consts(ssm)
+    sites_p, _ = _pad_sites(sites, block)
+    Tp = sites_p.ttau.shape[0]
+    pad = Tp - T
+    yp = jnp.pad(jnp.nan_to_num(y), (0, pad)).reshape(Tp, 1).astype(dt_)
+    maskp = jnp.pad(mask, (0, pad)).reshape(Tp, 1).astype(dt_)
+    nblk = Tp // block
+
+    const_spec = lambda n: pl.BlockSpec((n, C), lambda i: (0, 0))
+    ms_b, Ps_b, lZ, tto, tno = pl.pallas_call(
+        functools.partial(
+            _adf_kernel, bs=bs, B=block, D=D, N=N, damp=damp,
+            link=mp.link, variant=mp.variant,
+        ),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            const_spec(bs * bs), const_spec(bs * bs), const_spec(bs * bs),
+            const_spec(bs),
+            pl.BlockSpec((N, D), lambda i: (0, 0)),
+            pl.BlockSpec((S, N), lambda i: (0, 0)),
+            pl.BlockSpec((S, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, bs * C), lambda i: (i, 0)),
+            pl.BlockSpec((block, bs * bs * C), lambda i: (i, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+            pl.BlockSpec((block, C), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp, 1), dt_),
+            jax.ShapeDtypeStruct((Tp, C), dt_),
+            jax.ShapeDtypeStruct((Tp, C), dt_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, C), dt_),
+            pltpu.VMEM((bs * bs, C), dt_),
+        ],
+        interpret=interpret,
+    )(
+        yp, maskp, sites_p.ttau, sites_p.tnu, A2, Q2, Pi2, H2,
+        jnp.transpose(W, (1, 0)).astype(dt_),
+        xi.astype(dt_),
+        wn.reshape(-1, 1).astype(dt_),
+        jnp.asarray(sn2, dt_).reshape(1, 1),
+    )
+    return ms_b, Ps_b, lZ[:T, 0], Sites(tto[:T], tno[:T])
+
+
+def smoother_pallas_bmajor(ssm: BlockSSM, ms_b, Ps_b, T: int,
+                           block: int = 256, interpret: bool = False):
+    """Backward smoother over b-major padded trajectories; returns C-major
+    flattened smoothed (ms (T, C*bs), Ps (T, C*bs*bs))."""
+    C, bs = ssm.H.shape
+    dt_ = ssm.A.dtype
+    A2, Q2, _, H2, pad2 = _consts(ssm)
+    Tp = ms_b.shape[0]
+    nblk = Tp // block
+    const_spec = lambda n: pl.BlockSpec((n, C), lambda i: (0, 0))
+    bwd = pl.pallas_call(
+        functools.partial(_bwd_kernel, bs=bs, B=block),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
+            const_spec(bs * bs), const_spec(bs * bs), const_spec(bs),
+            const_spec(bs),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, C), dt_),
+            pltpu.VMEM((bs * bs, C), dt_),
+        ],
+        interpret=interpret,
+    )
+    sm_b, sP_b = bwd(ms_b, Ps_b, A2, Q2, H2, pad2)
+    sm = jnp.transpose(sm_b[:T].reshape(T, bs, C), (0, 2, 1)).reshape(T, -1)
+    sP = jnp.transpose(sP_b[:T].reshape(T, bs, bs, C), (0, 3, 1, 2)).reshape(T, -1)
+    return sm, sP
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -269,33 +498,4 @@ def filter_smoother_pallas(
         interpret=interpret,
     )
     ms_b, Ps_b = fwd(sites_p.ttau, sites_p.tnu, A2, Q2, Pi2, H2)
-
-    bwd = pl.pallas_call(
-        functools.partial(_bwd_kernel, bs=bs, B=block),
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
-            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
-            const_spec(bs * bs), const_spec(bs * bs), const_spec(bs),
-            const_spec(bs),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
-            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
-            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bs, C), dt_),
-            pltpu.VMEM((bs * bs, C), dt_),
-        ],
-        interpret=interpret,
-    )
-    sm_b, sP_b = bwd(ms_b, Ps_b, A2, Q2, H2, pad2)
-
-    # b-major (T, bs[, bs], C) -> C-major (T, C*bs[*bs]) once at the end
-    sm = jnp.transpose(sm_b[:T].reshape(T, bs, C), (0, 2, 1)).reshape(T, -1)
-    sP = jnp.transpose(sP_b[:T].reshape(T, bs, bs, C), (0, 3, 1, 2)).reshape(T, -1)
-    return sm, sP
+    return smoother_pallas_bmajor(ssm, ms_b, Ps_b, T, block, interpret)

@@ -83,3 +83,24 @@ def test_ep_infer_pallas_backend_matches_parallel():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(r_pl.nlZ), np.asarray(r_ps.nlZ),
                                rtol=1e-9)
+
+
+def test_ep_infer_pallas_full_matches_sequential():
+    """backend='pallas' now covers the ADF sweep too (in-kernel cubature):
+    the full 3-sweep EP must match the sequential engine up to the last-step
+    re-match quirk (bulk tolerance; see test_golden for its decay shape)."""
+    from nsgp_tpu.inference import ep
+    from nsgp_tpu.models.gtnmf import sample_prior
+
+    model, params = _toy_model(D=3, N=2)
+    y, _, _ = sample_prior(jax.random.PRNGKey(5), model, params, T=256)
+    r_seq = ep.ep_infer(model, params, y, None, ep.EPConfig(ep_itts=3))
+    r_pl = ep.ep_infer(model, params, y, None,
+                       ep.EPConfig(ep_itts=3, backend="pallas",
+                                   pallas_block=64))
+    # sweep-1 nlZ comes from identical ADF math -> tight agreement
+    np.testing.assert_allclose(float(r_pl.nlZ[0]), float(r_seq.nlZ[0]),
+                               rtol=1e-9)
+    d = np.abs(np.asarray(r_pl.Eft) - np.asarray(r_seq.Eft))
+    assert d[:-30].max() < 5e-3, d[:-30].max()
+    assert np.all(np.isfinite(np.asarray(r_pl.Varft)))
