@@ -108,3 +108,122 @@ def order_by_fastness(H: jax.Array, W: jax.Array):
     )
     order = jnp.argsort(-speed)
     return H[:, order], W[:, order]
+
+
+# ---------------------------------------------------------------------------
+# Temporal NMF (tNMF): log-GP smoothness priors on the components
+# ---------------------------------------------------------------------------
+
+
+class TNMFResult(NamedTuple):
+    W: jax.Array  # (D, N)
+    H: jax.Array  # (T, N) positive, temporally smooth components
+    cost: jax.Array  # () final MAP objective
+
+
+def _se_quad_penalty(T: int, ell, var, dtype):
+    """rfft eigenvalues of the circulant SE prior on log H (per component).
+
+    The penalty 0.5 * sum_k |rfft(logH)_k|^2 * mult_k / (T * S_k) is the
+    exact log-GP negative log-prior for a circulant SE covariance — the
+    reference's tnmf.m temporal prior, FFT-diagonalized.
+    """
+    freqs = jnp.arange(T // 2 + 1, dtype=dtype) * (2.0 * jnp.pi / T)
+    S = var * jnp.sqrt(2.0 * jnp.pi) * ell * jnp.exp(-0.5 * (ell * freqs) ** 2)
+    S = jnp.maximum(S, 1e-10)
+    mult = jnp.full((T // 2 + 1,), 2.0, dtype).at[0].set(1.0)
+    if T % 2 == 0:
+        mult = mult.at[-1].set(1.0)
+    return mult / (T * S)
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def tnmf(
+    A: jax.Array,  # (T, D) nonnegative data
+    N: int,
+    ell=200.0,  # temporal lengthscale(s) of the log-GP prior, samples
+    iters: int = 500,
+    var: float = 4.0,
+    lr: float = 5e-2,
+    key: jax.Array | None = None,
+) -> TNMFResult:
+    """Temporal NMF: IS cost + SE log-GP smoothness priors on the components.
+
+    Design equivalent of the reference's tnmf.m (log-Gaussian temporal
+    priors on H, getObj_nmf_temp.m objective): optimized jointly in
+    (log H, log W) by Adam with the prior FFT-diagonalized, instead of the
+    reference's conjugate gradients.
+    """
+    import optax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    T, D = A.shape
+    dtype = A.dtype
+    ell = jnp.broadcast_to(jnp.asarray(ell, dtype), (N,))
+    pen = jax.vmap(lambda e: _se_quad_penalty(T, e, var, dtype))(ell)  # (N, F)
+
+    scale = jnp.sqrt(jnp.mean(A) / N)
+    kH, kW = jax.random.split(key)
+    lH0 = jnp.log(scale) + 0.1 * jax.random.normal(kH, (T, N), dtype)
+    lW0 = jnp.log(scale) + 0.1 * jax.random.normal(kW, (D, N), dtype)
+
+    def objective(p):
+        lH, lW = p
+        H = jnp.exp(lH)
+        Ahat = H @ jnp.exp(lW).T + _EPS
+        is_cost = jnp.sum(A / Ahat + jnp.log(Ahat))
+        # log-GP prior on each component's log-trajectory (zero-mean about
+        # its own mean level, so the prior shapes smoothness, not scale)
+        lHc = lH - jnp.mean(lH, axis=0, keepdims=True)
+        F = jnp.fft.rfft(lHc, axis=0)  # (F, N)
+        prior = 0.5 * jnp.sum((jnp.abs(F) ** 2) * pen.T)
+        return is_cost + prior
+
+    opt = optax.adam(lr)
+
+    def body(carry, _):
+        p, s = carry
+        val, g = jax.value_and_grad(objective)(p)
+        upd, s = opt.update(g, s)
+        return (optax.apply_updates(p, upd), s), val
+
+    (p, _), vals = jax.lax.scan(body, ((lH0, lW0), opt.init((lH0, lW0))),
+                                None, length=iters)
+    lH, lW = p
+    return TNMFResult(W=jnp.exp(lW), H=jnp.exp(lH), cost=vals[-1])
+
+
+@partial(jax.jit, static_argnums=(3,))
+def tnmf_inf(
+    A: jax.Array, W: jax.Array, ell=200.0, iters: int = 400,
+    var: float = 4.0, lr: float = 5e-2,
+) -> jax.Array:
+    """H-only temporal-NMF inference at fixed W (ref tnmf_inf.m)."""
+    import optax
+
+    T = A.shape[0]
+    N = W.shape[1]
+    dtype = A.dtype
+    ell = jnp.broadcast_to(jnp.asarray(ell, dtype), (N,))
+    pen = jax.vmap(lambda e: _se_quad_penalty(T, e, var, dtype))(ell)
+    lH0 = jnp.full((T, N), jnp.log(jnp.sqrt(jnp.mean(A) / N)), dtype)
+
+    def objective(lH):
+        H = jnp.exp(lH)
+        Ahat = H @ W.T + _EPS
+        is_cost = jnp.sum(A / Ahat + jnp.log(Ahat))
+        lHc = lH - jnp.mean(lH, axis=0, keepdims=True)
+        F = jnp.fft.rfft(lHc, axis=0)
+        return is_cost + 0.5 * jnp.sum((jnp.abs(F) ** 2) * pen.T)
+
+    opt = optax.adam(lr)
+
+    def body(carry, _):
+        lH, s = carry
+        _, g = jax.value_and_grad(objective)(lH)
+        upd, s = opt.update(g, s)
+        return (optax.apply_updates(lH, upd), s), None
+
+    (lH, _), _ = jax.lax.scan(body, (lH0, opt.init(lH0)), None, length=iters)
+    return jnp.exp(lH)
