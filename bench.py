@@ -101,33 +101,46 @@ def main():
     sync(y)
     log("signal generation (numpy) + transfer", t0)
 
-    # Sequential scans win on one chip for this state size (bs=4, C=19):
-    # measured ~3x faster than the associative-scan path at T=100k.
-    cfg = ep.EPConfig(ep_itts=EP_ITTS, parallel=False, moment_chunk=8192)
-
-    def run(y):
-        res = ep.ep_infer(model, params, y, None, cfg)
-        return res.Eft, res.nlZ, res.maxdiff
-
-    t0 = time.perf_counter()
-    out = run(y)
-    nlZ = np.asarray(out[1])  # D2H fetch = the only true sync (see above)
-    log("ep_infer compile+run", t0)
-    log(f"nlZ per sweep: {nlZ.tolist()}")
-    log(f"maxdiff per sweep: {np.asarray(out[2]).tolist()}")
-
+    # Two configs: the known-good sequential path first (guarantees a
+    # number), then the fused-Pallas path; report the faster one whose
+    # sweep energies stay finite.
+    configs = [
+        ("seq", ep.EPConfig(ep_itts=EP_ITTS, parallel=False,
+                            moment_chunk=8192)),
+        ("pallas", ep.EPConfig(ep_itts=EP_ITTS, backend="pallas",
+                               moment_chunk=8192)),
+    ]
     reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(y)
-        sync(out[1])
-    elapsed = (time.perf_counter() - t0) / reps
-    per_sweep = elapsed / EP_ITTS
-    log(f"steady-state: {elapsed:.2f} s / {EP_ITTS} sweeps; "
-        f"{T * EP_ITTS / elapsed:,.0f} filtered samples/s/chip")
+    for name, cfg in configs:
+        try:
+            def run(y, cfg=cfg):
+                res = ep.ep_infer(model, params, y, None, cfg)
+                return res.Eft, res.nlZ, res.maxdiff
 
-    RESULT["value"] = round(per_sweep, 4)
-    RESULT["vs_baseline"] = round(BASELINE_S / per_sweep, 2)
+            t0 = time.perf_counter()
+            out = run(y)
+            nlZ = np.asarray(out[1])  # D2H fetch = the only true sync
+            log(f"[{name}] ep_infer compile+run", t0)
+            log(f"[{name}] nlZ per sweep: {nlZ.tolist()}")
+            log(f"[{name}] maxdiff per sweep: {np.asarray(out[2]).tolist()}")
+            if not np.all(np.isfinite(nlZ)):
+                log(f"[{name}] non-finite energies; skipping")
+                continue
+
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = run(y)
+                sync(out[1])
+            elapsed = (time.perf_counter() - t0) / reps
+            per_sweep = elapsed / EP_ITTS
+            log(f"[{name}] steady-state: {elapsed:.2f} s / {EP_ITTS} sweeps; "
+                f"{T * EP_ITTS / elapsed:,.0f} filtered samples/s/chip")
+            if RESULT["value"] is None or per_sweep < RESULT["value"]:
+                RESULT["value"] = round(per_sweep, 4)
+                RESULT["vs_baseline"] = round(BASELINE_S / per_sweep, 2)
+        except Exception as e:  # pallas may not compile on every backend
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+
     emit_and_exit()
 
 

@@ -178,6 +178,13 @@ def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
     hPph = jnp.where(ok0, hPph, hPinfh)
     hPfh = jnp.where(ok0, hPfh, hPinfh)
     hPSh = jnp.where(ok0, hPSh, hPinfh)
+    # Variance sanitizer: the cubic interpolation / Lyapunov doubling can
+    # produce slightly negative marginal variances near grid edges; the
+    # reference takes abs() with a warning (ihgp_ep_modulator_nmf.m:493-496).
+    floor = 1e-10
+    hPph = jnp.maximum(hPph, floor)
+    hPfh = jnp.maximum(hPfh, floor)
+    hPSh = jnp.maximum(hPSh, floor)
 
     return IHGPTables(
         log_r=jnp.asarray(log_r_fine, dt_),

@@ -9,7 +9,7 @@ algebra is fully unrolled over the (static, tiny) block size bs with
 (1, C)-shaped VPU ops — a few hundred vector ops per step.
 
 Layout: channel-on-lanes.  Model constants are reshaped to (bs*bs, C) /
-(bs, C); trajectories are emitted b-major as (T, bs*C) / (T, bs*bs*C)
+(bs, C); trajectories are emitted row-major as (T*bs, C) / (T*bs*bs, C)
 (flat rows — see kalman.PackedTrajectory for why (T, C, bs, bs) is fatal).
 The ep engine converts to its C-major convention once at the end.
 
@@ -146,8 +146,10 @@ def _fwd_kernel(ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref, H_ref,
         for i in range(bs):
             for k in range(bs):
                 P_s[i * bs + k : i * bs + k + 1, :] = Pp[i][k] - w * PH[i] * PH[k]
-        ms_ref[pl.ds(j, 1), :] = m_s[:].reshape(1, bs * C)
-        Ps_ref[pl.ds(j, 1), :] = P_s[:].reshape(1, bs * bs * C)
+        for i in range(bs):
+            ms_ref[pl.ds(j * bs + i, 1), :] = m_s[i : i + 1, :]
+        for i in range(bs * bs):
+            Ps_ref[pl.ds(j * bs * bs + i, 1), :] = P_s[i : i + 1, :]
         return 0
 
     jax.lax.fori_loop(0, B, body, 0)
@@ -161,8 +163,8 @@ def _bwd_kernel(ms_ref, Ps_ref, A_ref, Q_ref, H_ref, pad_ref,
     pad = _rows(pad_ref, bs)
 
     def load_step(j):
-        m = [ms_ref[pl.ds(j, 1), i * C : (i + 1) * C] for i in range(bs)]
-        P = [[Ps_ref[pl.ds(j, 1), (i * bs + k) * C : (i * bs + k + 1) * C]
+        m = [ms_ref[pl.ds(j * bs + i, 1), :] for i in range(bs)]
+        P = [[Ps_ref[pl.ds(j * bs * bs + i * bs + k, 1), :]
               for k in range(bs)] for i in range(bs)]
         return m, P
 
@@ -208,8 +210,10 @@ def _bwd_kernel(ms_ref, Ps_ref, A_ref, Q_ref, H_ref, pad_ref,
             mn_s[i : i + 1, :] = m_sm[i]
             for k in range(bs):
                 Pn_s[i * bs + k : i * bs + k + 1, :] = P_sm[i][k]
-        sm_ref[pl.ds(j, 1), :] = mn_s[:].reshape(1, bs * C)
-        sP_ref[pl.ds(j, 1), :] = Pn_s[:].reshape(1, bs * bs * C)
+        for i in range(bs):
+            sm_ref[pl.ds(j * bs + i, 1), :] = mn_s[i : i + 1, :]
+        for i in range(bs * bs):
+            sP_ref[pl.ds(j * bs * bs + i, 1), :] = Pn_s[i : i + 1, :]
         return 0
 
     jax.lax.fori_loop(0, B, body, 0)
@@ -312,9 +316,11 @@ def _adf_kernel(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
         for i in range(bs):
             for k in range(bs):
                 P_s[i * bs + k : i * bs + k + 1, :] = Pp[i][k] - w * PH[i] * PH[k]
-        ms_ref[pl.ds(j, 1), :] = m_s[:].reshape(1, bs * C)
-        Ps_ref[pl.ds(j, 1), :] = P_s[:].reshape(1, bs * bs * C)
-        lZ_ref[pl.ds(j, 1), :] = lZk.reshape(1, 1)
+        for i in range(bs):
+            ms_ref[pl.ds(j * bs + i, 1), :] = m_s[i : i + 1, :]
+        for i in range(bs * bs):
+            Ps_ref[pl.ds(j * bs * bs + i, 1), :] = P_s[i : i + 1, :]
+        lZ_ref[pl.ds(j, 1), :] = jnp.full((1, 1), lZk, tt.dtype)
         tto_ref[pl.ds(j, 1), :] = tt_new
         tno_ref[pl.ds(j, 1), :] = tn_new
         return 0
@@ -388,15 +394,15 @@ def adf_filter_pallas(
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block, bs * C), lambda i: (i, 0)),
-            pl.BlockSpec((block, bs * bs * C), lambda i: (i, 0)),
+            pl.BlockSpec((block * bs, C), lambda i: (i, 0)),
+            pl.BlockSpec((block * bs * bs, C), lambda i: (i, 0)),
             pl.BlockSpec((block, 1), lambda i: (i, 0)),
             pl.BlockSpec((block, C), lambda i: (i, 0)),
             pl.BlockSpec((block, C), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
-            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp * bs, C), dt_),
+            jax.ShapeDtypeStruct((Tp * bs * bs, C), dt_),
             jax.ShapeDtypeStruct((Tp, 1), dt_),
             jax.ShapeDtypeStruct((Tp, C), dt_),
             jax.ShapeDtypeStruct((Tp, C), dt_),
@@ -418,30 +424,31 @@ def adf_filter_pallas(
 
 def smoother_pallas_bmajor(ssm: BlockSSM, ms_b, Ps_b, T: int,
                            block: int = 256, interpret: bool = False):
-    """Backward smoother over b-major padded trajectories; returns C-major
-    flattened smoothed (ms (T, C*bs), Ps (T, C*bs*bs))."""
+    """Backward smoother over row-major padded trajectories
+    (ms_b (Tp*bs, C), Ps_b (Tp*bs*bs, C)); returns C-major flattened
+    smoothed (ms (T, C*bs), Ps (T, C*bs*bs))."""
     C, bs = ssm.H.shape
     dt_ = ssm.A.dtype
     A2, Q2, _, H2, pad2 = _consts(ssm)
-    Tp = ms_b.shape[0]
+    Tp = ms_b.shape[0] // bs
     nblk = Tp // block
     const_spec = lambda n: pl.BlockSpec((n, C), lambda i: (0, 0))
     bwd = pl.pallas_call(
         functools.partial(_bwd_kernel, bs=bs, B=block),
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
-            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block * bs, C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block * bs * bs, C), lambda i: (nblk - 1 - i, 0)),
             const_spec(bs * bs), const_spec(bs * bs), const_spec(bs),
             const_spec(bs),
         ],
         out_specs=[
-            pl.BlockSpec((block, bs * C), lambda i: (nblk - 1 - i, 0)),
-            pl.BlockSpec((block, bs * bs * C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block * bs, C), lambda i: (nblk - 1 - i, 0)),
+            pl.BlockSpec((block * bs * bs, C), lambda i: (nblk - 1 - i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
-            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp * bs, C), dt_),
+            jax.ShapeDtypeStruct((Tp * bs * bs, C), dt_),
         ],
         scratch_shapes=[
             pltpu.VMEM((bs, C), dt_),
@@ -450,8 +457,10 @@ def smoother_pallas_bmajor(ssm: BlockSSM, ms_b, Ps_b, T: int,
         interpret=interpret,
     )
     sm_b, sP_b = bwd(ms_b, Ps_b, A2, Q2, H2, pad2)
-    sm = jnp.transpose(sm_b[:T].reshape(T, bs, C), (0, 2, 1)).reshape(T, -1)
-    sP = jnp.transpose(sP_b[:T].reshape(T, bs, bs, C), (0, 3, 1, 2)).reshape(T, -1)
+    sm = jnp.transpose(sm_b[: T * bs].reshape(T, bs, C), (0, 2, 1)).reshape(T, -1)
+    sP = jnp.transpose(
+        sP_b[: T * bs * bs].reshape(T, bs, bs, C), (0, 3, 1, 2)
+    ).reshape(T, -1)
     return sm, sP
 
 
@@ -484,12 +493,12 @@ def filter_smoother_pallas(
             const_spec(bs),
         ],
         out_specs=[
-            pl.BlockSpec((block, bs * C), lambda i: (i, 0)),
-            pl.BlockSpec((block, bs * bs * C), lambda i: (i, 0)),
+            pl.BlockSpec((block * bs, C), lambda i: (i, 0)),
+            pl.BlockSpec((block * bs * bs, C), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, bs * C), dt_),
-            jax.ShapeDtypeStruct((Tp, bs * bs * C), dt_),
+            jax.ShapeDtypeStruct((Tp * bs, C), dt_),
+            jax.ShapeDtypeStruct((Tp * bs * bs, C), dt_),
         ],
         scratch_shapes=[
             pltpu.VMEM((bs, C), dt_),
