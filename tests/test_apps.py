@@ -109,3 +109,31 @@ def test_hmc_and_vi_run_and_are_finite():
     vi = hmc.vi_fit(jax.random.PRNGKey(14), log_post, u0, steps=20, n_mc=2)
     assert np.all(np.isfinite(np.asarray(vi.mean)))
     assert np.all(np.isfinite(np.asarray(vi.elbo_trace[-1])))
+
+
+def test_transform_box_constraints_roundtrip_and_bounds():
+    """Scaled-sigmoid box constraints (the reference's sigmoid.m /
+    unpack_params.m semantics): roundtrip exactness and optimization stays
+    inside the box."""
+    from nsgp_tpu.models.gtnmf import sample_prior as _sp
+
+    model, params = _toy()
+    y, _, _ = _sp(jax.random.PRNGKey(2), model, params, T=300)
+    specs = {"omega": (0.05, 3.0), "sub_len": (5.0, 500.0), "W": "fixed"}
+    tf = learn.Transform(specs)
+    u = tf.to_unconstrained(params)
+    back = tf.to_params(u, params)
+    for g in ("omega", "sub_len", "mod_var"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(back, g)), np.asarray(getattr(params, g)),
+            rtol=1e-6,
+        )
+    res = learn.fit_hyperparams(
+        model, params, y, engine="ep", specs=specs, steps=10,
+        learning_rate=0.2, ep_itts=1,
+    )
+    assert np.all(np.asarray(res.params.omega) > 0.05)
+    assert np.all(np.asarray(res.params.omega) < 3.0)
+    assert np.all(np.asarray(res.params.sub_len) > 5.0)
+    np.testing.assert_allclose(np.asarray(res.params.W), np.asarray(params.W))
+    assert np.isfinite(float(res.final_energy))
