@@ -104,3 +104,23 @@ def test_ep_infer_pallas_full_matches_sequential():
     d = np.abs(np.asarray(r_pl.Eft) - np.asarray(r_seq.Eft))
     assert d[:-30].max() < 5e-3, d[:-30].max()
     assert np.all(np.isfinite(np.asarray(r_pl.Varft)))
+
+
+def test_ep_infer_pallas_handles_nan_gaps():
+    """Missing data through the fused kernels: masked steps carry zero
+    sites (pure prediction) exactly like the scan engine."""
+    from nsgp_tpu.inference import ep
+    from nsgp_tpu.models.gtnmf import sample_prior
+
+    model, params = _toy_model(D=2, N=2)
+    y, _, _ = sample_prior(jax.random.PRNGKey(7), model, params, T=192)
+    y = y.at[60:90].set(jnp.nan)
+    r_seq = ep.ep_infer(model, params, y, None, ep.EPConfig(ep_itts=2))
+    r_pl = ep.ep_infer(model, params, y, None,
+                       ep.EPConfig(ep_itts=2, backend="pallas",
+                                   pallas_block=64))
+    assert np.all(np.isfinite(np.asarray(r_pl.Eft)))
+    np.testing.assert_allclose(float(r_pl.nlZ[0]), float(r_seq.nlZ[0]),
+                               rtol=1e-9)
+    d = np.abs(np.asarray(r_pl.Eft[:-20]) - np.asarray(r_seq.Eft[:-20]))
+    assert d.max() < 5e-3, d.max()
