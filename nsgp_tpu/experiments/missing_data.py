@@ -43,19 +43,25 @@ def run_file(
     ep_itts=(1, 8),
     pretrain_kwargs=None,
 ):
+    import jax
+
     y_raw, fs = read_wav(path)
     y_raw = y_raw / (np.std(y_raw) + 1e-12)
     n_train = int(train_seconds * fs)
     n_test = int(test_seconds * fs)
-    y_train = jnp.asarray(y_raw[:n_train])
     y_test = jnp.asarray(y_raw[n_train : n_train + n_test])
 
     kw = dict(num_levels=2, steps_per_level=200)
     kw.update(pretrain_kwargs or {})
-    tm = pipeline.train_gtnmf_fixed_params(
-        y_train, D=D, N=N, kernel1=kernel1, fs=float(fs),
-        filterbank_kwargs=kw,
-    )
+    # Pre-train on the host CPU backend (many small jits compile for minutes
+    # over the TPU tunnel); inference below runs on the default backend.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        tm = pipeline.train_gtnmf_fixed_params(
+            jnp.asarray(y_raw[:n_train]), D=D, N=N, kernel1=kernel1,
+            fs=float(fs), filterbank_kwargs=kw,
+        )
+    tm = tm._replace(params=jax.device_put(jax.device_get(tm.params)))
 
     T = int(y_test.shape[0])
     mask = md.make_gap_mask(T, gaps_for(T))
