@@ -12,6 +12,9 @@ plain-dict results table and a ``main()`` CLI that writes JSON artifacts to
                  (noise_reduction_speech.m:34-80)
 - source_sep   : 3-note joint separation, per-source SNR
                  (source_sep_piano.m:50-227)
+- textures_ihgp: long-signal (T > 100k) texture gap-filling with the
+                 infinite-horizon engine (README.md:11 capacity claim,
+                 train_textures.m corpus)
 
 Defaults are scaled to finish in minutes on one chip / CPU; pass the
 ``--full`` flags for paper-scale runs.

@@ -92,11 +92,13 @@ def run_file(
             "kernel1": kernel1, "rows": rows}
 
 
-def run(files=("piano", "guitar", "flute"), **kwargs):
-    out = {"experiment": "missing_data_music", "gap_lengths": GAP_LENGTHS,
+def run(files=("piano", "guitar", "flute"), corpus="music", **kwargs):
+    """corpus='music' is the paper driver (missing_data_music.m);
+    corpus='speech' is the speech variant (test_missing_data.m)."""
+    out = {"experiment": f"missing_data_{corpus}", "gap_lengths": GAP_LENGTHS,
            "files": []}
     for name in files:
-        path = os.path.join(AUDIO_ROOT, "music", f"{name}.wav")
+        path = os.path.join(AUDIO_ROOT, corpus, f"{name}.wav")
         out["files"].append(run_file(path, **kwargs))
     # aggregation (ref missing_data_music_results.m:26-37)
     agg = {}
@@ -126,10 +128,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--files", nargs="+", default=["piano", "guitar", "flute"])
-    ap.add_argument("--out", default="results/missing_data_music.json")
+    ap.add_argument("--corpus", default="music", choices=["music", "speech"])
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = f"results/missing_data_{args.corpus}.json"
     _setup_backend(args.device)
-    res = run(files=tuple(args.files))
+    res = run(files=tuple(args.files), corpus=args.corpus)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

@@ -1,0 +1,131 @@
+"""Long-signal texture inference with the infinite-horizon engine.
+
+The reference's headline IHGP capacity claim (README.md:11: constant
+covariance memory "allowing us to process signals with hundreds of
+thousands of data points"; train_textures.m trains the texture corpus) has
+no dedicated experiment script — the claim is exercised implicitly by the
+texture runs.  This driver makes it explicit: pre-train a GT-NMF model on
+the head of a 44.1 kHz texture (ref audio/textures/*, 88,200 samples each),
+optionally tile the stationary texture to push T past 100k, NaN out gaps,
+and run IHGP gap-filling over the full signal, reporting gap SNR, wall
+clock per EP sweep, and filtered samples/s.
+
+CLI: python -m nsgp_tpu.experiments.textures_ihgp [--files stim312_wind]
+Writes results/textures_ihgp.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.apps import missing_data as md
+from nsgp_tpu.experiments import AUDIO_ROOT
+from nsgp_tpu.experiments.missing_data import GAP_LENGTHS
+from nsgp_tpu.pretrain import pipeline
+from nsgp_tpu.utils.audio import read_wav
+
+
+def run_file(
+    path: str,
+    D=12,
+    N=3,
+    kernel1="exp",
+    train_seconds=0.75,
+    seconds=None,
+    tile=2,
+    n_gaps=12,
+    ep_itts=4,
+    pretrain_kwargs=None,
+):
+    y_raw, fs = read_wav(path)
+    y_raw = y_raw / (np.std(y_raw) + 1e-12)
+    if seconds is not None:
+        y_raw = y_raw[: int(seconds * fs)]
+    n_train = int(train_seconds * fs)
+
+    kw = dict(num_levels=2, steps_per_level=200)
+    kw.update(pretrain_kwargs or {})
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        tm = pipeline.train_gtnmf_fixed_params(
+            jnp.asarray(y_raw[:n_train]), D=D, N=N, kernel1=kernel1,
+            fs=float(fs), filterbank_kwargs=kw,
+        )
+    tm = tm._replace(params=jax.device_put(jax.device_get(tm.params)))
+
+    # Textures are statistically stationary, so tiling the recording is a
+    # faithful way to reach the reference's "hundreds of thousands" regime
+    # on the 2 s corpus files (88,200 samples each).
+    y_full = np.tile(y_raw, max(int(tile), 1))
+    T = int(y_full.shape[0])
+    y_test = jnp.asarray(y_full)
+
+    starts = np.linspace(0.05, 0.95, n_gaps) * T
+    lengths = [GAP_LENGTHS[i % len(GAP_LENGTHS)] for i in range(n_gaps)]
+    mask = md.make_gap_mask(T, list(zip(starts.astype(int), lengths)))
+
+    t0 = time.perf_counter()
+    r = md.fill_gaps(
+        tm.model, tm.params, y_test, mask, engine="ihgp", n_samples=20,
+        ep_itts=ep_itts, ep_fraction=0.75,
+        damping=(0.1,) if ep_itts == 1 else (0.0025,), grid_lo=-4.0,
+    )
+    elapsed = time.perf_counter() - t0
+    return {
+        "file": os.path.basename(path),
+        "fs": fs,
+        "T": T,
+        "D": D,
+        "N": N,
+        "ep_itts": ep_itts,
+        "rmse_gaps": float(r.rmse_gaps),
+        "snr_gaps_db": float(r.snr_gaps),
+        "seconds_total": round(elapsed, 3),
+        "seconds_per_sweep": round(elapsed / ep_itts, 3),
+        "filtered_samples_per_s": round(T * ep_itts / elapsed),
+        "nlZ_per_sweep": np.asarray(r.result.nlZ).tolist(),
+    }
+
+
+def run(files=("stim312_wind", "stim35_boiling_water"), **kwargs):
+    out = {"experiment": "textures_ihgp", "files": []}
+    for name in files:
+        path = os.path.join(AUDIO_ROOT, "textures", f"{name}.wav")
+        out["files"].append(run_file(path, **kwargs))
+    out["aggregate"] = {
+        "mean_snr_gaps_db": float(
+            np.mean([f["snr_gaps_db"] for f in out["files"]])
+        ),
+        "max_T": max(f["T"] for f in out["files"]),
+    }
+    return out
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--files", nargs="+",
+                    default=["stim312_wind", "stim35_boiling_water"])
+    ap.add_argument("--tile", type=int, default=2)
+    ap.add_argument("--out", default="results/textures_ihgp.json")
+    args = ap.parse_args()
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    res = run(files=tuple(args.files), tile=args.tile)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res["aggregate"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,22 @@ def test_missing_data_driver_on_real_music():
     assert np.isfinite(row["snr_gaps_db"])
 
 
+def test_textures_ihgp_driver_on_real_texture():
+    from nsgp_tpu.experiments import textures_ihgp
+
+    path = os.path.join("/root/reference/audio/textures", "stim312_wind.wav")
+    if not os.path.exists(path):
+        pytest.skip("reference audio not available")
+    res = textures_ihgp.run_file(
+        path, D=6, N=2, train_seconds=0.2, seconds=0.3, tile=2, n_gaps=4,
+        ep_itts=2,
+        pretrain_kwargs=dict(num_levels=2, steps_per_level=100),
+    )
+    assert res["T"] == 2 * int(0.3 * res["fs"])
+    assert np.isfinite(res["snr_gaps_db"])
+    assert np.all(np.isfinite(res["nlZ_per_sweep"]))
+
+
 def test_committed_artifacts_parse():
     """Any committed results/ artifact must be valid JSON with an
     'experiment' or per-engine structure."""
