@@ -104,11 +104,19 @@ def _ep_resite(
     var: jax.Array,  # (T, C) smoothed observable variances
     sites: Sites,
     damp: float,
+    exclude_last: bool = False,
 ):
     """Vectorized EP site re-matching at the smoothed cavity (all T at once).
 
     Ref gf_ep_modulator_nmf.m:240-267 (the backward-pass EP block).
+    ``exclude_last`` reproduces the reference exactly: its backward loop runs
+    k = T-1..1 and never re-sites the last time step (site T is refreshed in
+    the *forward* pass of the next sweep instead, the ``k == numel(yall)``
+    branch at :141).  The sequential engine sets this; the parallel/Pallas
+    backends keep the all-T re-site (same fixed point, different path).
     """
+    if exclude_last:
+        mask = mask.at[-1].set(False)
     frac = cfg.ep_fraction
     mp = model.moment_params()
     v_cav_raw = 1.0 / (1.0 / var - frac * sites.ttau)
@@ -216,6 +224,12 @@ def ep_infer(
     maxdiff = jnp.full((config.ep_itts,), jnp.inf, dtype)
     lZ_final = jnp.zeros((T,), dtype)
     last_only = jnp.zeros((T,), bool).at[-1].set(True)
+    # Sequential backend follows the reference's exact last-site bookkeeping
+    # (forward re-match at k=T, backward re-site over k<T, nlZ mixing the
+    # forward lZ(T) with the backward lZ(1..T-1) — gf_ep_modulator_nmf.m:141,
+    # :207, :277).  Parallel/Pallas keep the simpler all-T re-site.
+    seq = config.backend != "pallas" and not config.parallel
+    lZ_last = jnp.zeros((), dtype)  # forward-pass lZ at the final step
 
     mu = var = None
     for itt in range(config.ep_itts):
@@ -240,6 +254,7 @@ def ep_infer(
                 ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
+            lZ_last = lZ[-1]
         elif config.parallel or config.backend == "pallas":
             # Linear-Gaussian pass with fixed sites: associative scans
             # (parallel) or fused Pallas kernels (backend='pallas').  Both
@@ -249,10 +264,11 @@ def ep_infer(
         else:
             # Reference quirk: later forward passes still re-match the site
             # at the very last step (itt == 1 || k == numel(yall) branch).
-            fr, _, sites = kalman.adf_filter(
+            fr, lZ_fwd, sites = kalman.adf_filter(
                 ssm, y, mask, sites, mom_fn, damp, match_mask=last_only, store=True,
                 unroll=config.unroll,
             )
+            lZ_last = lZ_fwd[-1]
             ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
 
         mu_new, var_new = kalman.observable_marginals(ssm, ms, Ps)
@@ -266,10 +282,18 @@ def ep_infer(
 
         if itt < config.ep_itts - 1:
             sites, lZ = _ep_resite(
-                model, params, config, y, mask, mu, var, sites, config.damp(itt + 1)
+                model, params, config, y, mask, mu, var, sites,
+                config.damp(itt + 1), exclude_last=seq,
             )
+            if seq:
+                lZ = lZ.at[-1].set(lZ_last)
             nlZ = nlZ.at[itt + 1].set(-jnp.sum(lZ))
             lZ_final = lZ
+
+    if seq and config.ep_itts > 1:
+        # The final forward pass refreshed site T after the last re-site;
+        # the reference's out.lZ carries that fresher value (:141, :313).
+        lZ_final = lZ_final.at[-1].set(lZ_last)
 
     return EPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ,
                     ms=ms, Ps=Ps, maxdiff=maxdiff)
@@ -306,14 +330,17 @@ def ep_energy(
         ssm, y, mask, sites, mom_fn, config.damp(0), match_mask=None,
         store=store, unroll=config.unroll,
     )
+    lZ_last = lZ[-1]  # forward-pass lZ at the final step (ref :413)
     for itt in range(1, config.ep_itts):
         ms, Ps = kalman.rts_smoother(ssm, fr, unroll=config.unroll)
         mu, var = kalman.observable_marginals(ssm, ms, Ps)
         sites, lZ = _ep_resite(
-            model, params, config, y, mask, mu, var, sites, config.damp(itt)
+            model, params, config, y, mask, mu, var, sites, config.damp(itt),
+            exclude_last=True,
         )
+        lZ = lZ.at[-1].set(lZ_last)
         if itt < config.ep_itts - 1:
-            fr, _, sites = kalman.adf_filter(
+            fr, lZ_fwd, sites = kalman.adf_filter(
                 ssm,
                 y,
                 mask,
@@ -323,4 +350,5 @@ def ep_energy(
                 match_mask=jnp.zeros((T,), bool).at[-1].set(True),
                 store=True,
             )
+            lZ_last = lZ_fwd[-1]
     return -jnp.sum(lZ)

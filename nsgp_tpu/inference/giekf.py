@@ -68,8 +68,13 @@ def dense_model(ssm: BlockSSM):
         return jax.lax.fori_loop(0, C, lambda c, o: place(o, c), out)
 
     A = bd(ssm.A)
-    Q = bd(ssm.Q)
-    Pinf = bd(ssm.Pinf)
+    # Identity noise on the zero-padded dims keeps every pseudo-prediction
+    # covariance nonsingular (A = 0 there, so P stays exactly pad_eye on the
+    # padded diagonal and 0 off it); H is zero on those dims, so they never
+    # couple to the measurement — inert, like ssm.pad_eye in the blocked
+    # engine.  Without this the dense RTS solve is singular.
+    Q = bd(ssm.Q) + bd(ssm.pad_eye)
+    Pinf = bd(ssm.Pinf) + bd(ssm.pad_eye)
     Hd = (jnp.eye(C, dtype=ssm.H.dtype)[:, :, None] * ssm.H[None]).reshape(C, m)
     return A, Q, Pinf, Hd
 
@@ -98,16 +103,27 @@ def _measurement(model: GTNMFModel, W: jax.Array, f: jax.Array):
     return yhat, jnp.concatenate([dh_dz, dh_dg])
 
 
-def _filter(model, W, sn2, A, Q, Pinf, Hd, y, mask, lin_ref, use_ref, cfg):
-    """One EKF/IEKF forward pass.  ``lin_ref`` (T, m) are linearization
-    states (smoothed means from the previous global pass); ``use_ref`` gates
-    whether to initialize the IEKF at them."""
-    m_dim = A.shape[0]
-    dt_ = A.dtype
+def _filter(model, W, sn2, A, Q, Hd, y, mask, m0, P0, cfg, l_iter):
+    """One (I)EKF forward pass starting from (m0, P0).
+
+    Reference-exact update (iekf_update1.m:110-117): the inner loop is the
+    *pseudo-iterated* form
+
+        for it = 1..iters:  J = dh(M); S = J P J' + R; K = P J / S;
+                            M = M + K (y - h(M))
+        P = P - K S K'                       (final-iteration K, S)
+
+    i.e. the innovation is re-evaluated at the moving M, the gain always
+    uses the predicted P, and there is NO Jacobian correction term
+    J (m_pred - M) — unlike the textbook IEKF.  The covariance update uses
+    the last iteration's K and S.  The energy contribution is the plain-EKF
+    innovation NLL at the predicted mean (gf_giekf_modulator_nmf.m:424,
+    where the energy path does a single linearization).
+    """
 
     def step(carry, inp):
         mx, P, first = carry
-        y_k, obs_k, ref_k = inp
+        y_k, obs_k = inp
         mx, P = jax.lax.cond(
             first,
             lambda: (mx, P),
@@ -115,39 +131,38 @@ def _filter(model, W, sn2, A, Q, Pinf, Hd, y, mask, lin_ref, use_ref, cfg):
         )
         P = 0.5 * (P + P.T)
 
-        eta0 = jnp.where(use_ref, ref_k, mx)
+        # Plain-EKF quantities at the predicted mean (first linearization):
+        # these feed the energy, and iteration 1 of the loop below.
+        f0 = Hd @ mx
+        yhat0, dh0 = _measurement(model, W, f0)
+        J0 = dh0 @ Hd
+        PJ0 = P @ J0
+        S0 = J0 @ PJ0 + sn2
+        nll_k = 0.5 * (jnp.log(2.0 * jnp.pi * S0) + (y_k - yhat0) ** 2 / S0)
 
-        def iekf_body(i, eta):
-            f = Hd @ eta
+        def iekf_body(i, state):
+            M, _, _ = state
+            f = Hd @ M
             yhat, dh = _measurement(model, W, f)
             J = dh @ Hd  # (m,)
             PJ = P @ J
             S = J @ PJ + sn2
             K = PJ / S
-            resid = y_k - yhat - J @ (mx - eta)
-            return mx + K * resid
+            return M + K * (y_k - yhat), K, S
 
-        eta = jax.lax.fori_loop(0, cfg.l_iter, iekf_body, eta0)
-        # Final linearization at eta for the covariance update + NLL.
-        f = Hd @ eta
-        yhat, dh = _measurement(model, W, f)
-        J = dh @ Hd
-        PJ = P @ J
-        S = J @ PJ + sn2
-        K = PJ / S
-        m_upd = mx + K * (y_k - yhat - J @ (mx - eta))
-        P_upd = P - jnp.outer(K, PJ)
+        M, K, S = jax.lax.fori_loop(
+            0, l_iter, iekf_body, (mx, PJ0 / S0, S0)
+        )
+        P_upd = P - S * jnp.outer(K, K)  # P - K S K' (iekf_update1.m:117)
         P_upd = 0.5 * (P_upd + P_upd.T)
-        nll_k = 0.5 * (jnp.log(2.0 * jnp.pi * S) + (y_k - yhat - J @ (mx - eta)) ** 2 / S)
 
-        mx = jnp.where(obs_k, m_upd, mx)
+        mx = jnp.where(obs_k, M, mx)
         P = jnp.where(obs_k, P_upd, P)
         nll_k = jnp.where(obs_k, nll_k, 0.0)
         return (mx, P, jnp.zeros_like(first)), (mx, P, nll_k)
 
-    m0 = jnp.zeros((m_dim,), dt_)
     (mT, PT, _), (ms, Ps, nll) = jax.lax.scan(
-        step, (m0, Pinf, jnp.asarray(True)), (y, mask, lin_ref)
+        step, (m0, P0, jnp.asarray(True)), (y, mask)
     )
     return ms, Ps, jnp.sum(nll)
 
@@ -194,16 +209,21 @@ def giekf_infer(
     m_dim = A.shape[0]
     sn2 = params.lik
 
-    lin_ref = jnp.zeros((T, m_dim), A.dtype)
-    use_ref = jnp.asarray(False)
+    # Global iteration, reference-exact (gf_giekf_modulator_nmf.m:128-131):
+    # the state is initialized from the prior only on the FIRST pass; pass
+    # s >= 2 warm-starts the filter from the smoothed (m, P) at k = 1 left
+    # behind by the previous smoother sweep (and skips the k = 1 prediction).
+    m0 = jnp.zeros((m_dim,), A.dtype)
+    P0 = Pinf
     ms = Ps = None
     nll = jnp.zeros((), A.dtype)
     for g in range(config.g_iter):
         msf, Psf, nll = _filter(
-            model, params.W, sn2, A, Q, Pinf, Hd, y, mask, lin_ref, use_ref, config
+            model, params.W, sn2, A, Q, Hd, y, mask, m0, P0, config,
+            config.l_iter,
         )
         ms, Ps = _rts_dense(A, Q, msf, Psf, config.jitter)
-        lin_ref, use_ref = ms, jnp.asarray(True)
+        m0, P0 = ms[0], Ps[0]
 
     Eft = ms @ Hd.T  # (T, C)
     Varft = jnp.einsum("ci,tij,cj->tc", Hd, Ps, Hd)
@@ -227,10 +247,11 @@ def giekf_energy(
     y = jnp.nan_to_num(y)
     ssm = model.build_ssm(params)
     A, Q, Pinf, Hd = dense_model(ssm)
-    T = y.shape[0]
-    lin_ref = jnp.zeros((T, A.shape[0]), A.dtype)
+    # Reference energy mode is a single plain-EKF pass (one linearization at
+    # the predicted mean per step, gf_giekf_modulator_nmf.m:373-430), hence
+    # l_iter = 1 here regardless of the prediction-mode setting.
+    m0 = jnp.zeros((A.shape[0],), A.dtype)
     _, _, nll = _filter(
-        model, params.W, params.lik, A, Q, Pinf, Hd, y, mask, lin_ref,
-        jnp.asarray(False), config,
+        model, params.W, params.lik, A, Q, Hd, y, mask, m0, Pinf, config, 1
     )
     return nll

@@ -87,6 +87,8 @@ class GTNMFModel(NamedTuple):
     p_cubature: int = 9
     cubature_method: str = "symmetric"
     use_pep_const: bool = False
+    z_floor: float = 1e-10  # likModulatorNMFPower.m:28; the per-subband
+    # likelihood (likModulatorPower.m:25) uses 1e-8
 
     def moment_params(self) -> MomentParams:
         return MomentParams(
@@ -97,6 +99,7 @@ class GTNMFModel(NamedTuple):
             variant=self.variant,
             method=self.cubature_method,
             use_pep_const=self.use_pep_const,
+            z_floor=self.z_floor,
         )
 
     def build_ssm(self, params: GTNMFParams, dt: float = 1.0) -> ssm_mod.BlockSSM:

@@ -59,6 +59,8 @@ class MomentParams(NamedTuple):
     link: str = "softplus"
     variant: str = "amp"  # 'amp' (likModulatorNMFPower) or 'sq' (PreCalcwn)
     method: str = "symmetric"  # 'symmetric' (utp) or 'gh' tensor grid
+    z_floor: float = _JITTER  # raw-scale floor on Z; the reference uses
+    # 1e-10 for likModulatorNMFPower.m:28 and 1e-8 for likModulatorPower.m:25
     use_pep_const: bool = False  # ref NMFPower sets pEP const to 1 (:48-49);
     # PreCalcwn uses (2 pi sn2)^((1-a)/2) a^(-1/2) (:48)
 
@@ -122,9 +124,18 @@ def moments(
     else:
         pep_const = jnp.asarray(1.0, dtype)
 
-    Z0 = jnp.maximum(jnp.einsum("s,...s->...", wn, norm), _JITTER)
-    lZ = jnp.log(pep_const) + lmax[..., 0] + jnp.log(Z0)
-    Zinv = 1.0 / Z0  # rescaled 1/Z; consistent with the rescaled ``norm``
+    # Raw-scale floor Z >= _JITTER exactly as the reference (max on the raw
+    # sum, likModulatorNMFPower.m:55): log(max(Z, j)) == max(log Z, log j),
+    # and the floored Z also feeds Zinv.  The shifted sum can be <= 0
+    # (negative ut7/ut9 weights), in which case the reference's max() kicks
+    # in too — the inner tiny-clamp only keeps the log finite on that path.
+    Z0 = jnp.maximum(jnp.einsum("s,...s->...", wn, norm), jnp.finfo(dtype).tiny)
+    lZ_raw = lmax[..., 0] + jnp.log(Z0)
+    lZ_floor = jnp.maximum(lZ_raw, jnp.log(jnp.asarray(mp.z_floor, dtype)))
+    lZ = jnp.log(pep_const) + lZ_floor
+    # Rescaled 1/Z consistent with the rescaled ``norm``; the extra factor
+    # folds the raw-scale floor into the shifted representation.
+    Zinv = jnp.exp(lZ_raw - lZ_floor) / Z0
 
     # --- first derivatives w.r.t. cavity means -----------------------------
     rs = resid / s2_eff  # (..., S)

@@ -123,12 +123,27 @@ def test_f32_matches_f64_well_scaled():
     np.testing.assert_allclose(np.asarray(d2lZ32), np.asarray(d2lZ64), rtol=5e-3, atol=5e-3)
 
 
+def test_far_tail_floors_at_reference_jitter():
+    """A far-tail residual underflows the raw normpdf sum, so the reference
+    floors Z at 1e-10 (likModulatorNMFPower.m:55) => lZ == log(1e-10).  The
+    raw-scale floor must reproduce that exactly in both precisions."""
+    D, N = 4, 2
+    mp = MomentParams(D=D, N=N, p_cubature=9)  # default z_floor = 1e-10
+    mu, s2, W = _rand_inputs(jax.random.PRNGKey(3), D, N)
+    lZ64, _, _ = moments(mp, 1e-3, jnp.asarray(50.0), mu, s2, W, 1.0)
+    assert abs(float(lZ64) - np.log(1e-10)) < 1e-9
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    lZ32, _, _ = moments(mp, f32(1e-3), f32(50.0), f32(mu), f32(s2), f32(W), 1.0)
+    assert abs(float(lZ32) - np.log(1e-10)) < 1e-4
+
+
 def test_f32_far_tail_no_underflow():
     """Max-shifted accumulation: an extreme residual (all densities tiny)
-    must produce a finite, f64-consistent lZ in f32 — the raw normpdf sum
-    underflows to the 1e-10 floor here."""
+    must produce a finite, f64-consistent lZ in f32.  z_floor=1e-300
+    disables the reference's Z floor (it casts to 0.0 in f32, making the
+    floor -inf == no floor) so this exercises the shift machinery itself."""
     D, N = 4, 2
-    mp = MomentParams(D=D, N=N, p_cubature=9)
+    mp = MomentParams(D=D, N=N, p_cubature=9, z_floor=1e-300)
     mu, s2, W = _rand_inputs(jax.random.PRNGKey(3), D, N)
     sn2 = 1e-3
     y = 50.0  # ~ 50-sigma residual: log-density ~ -1e6 in the worst case
