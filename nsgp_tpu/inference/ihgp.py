@@ -70,11 +70,13 @@ class IHGPTables(NamedTuple):
     """Per-(channel, grid) steady-state quantities.  G = grid_fine points."""
 
     log_r: jax.Array  # (G,) log10 effective noise grid
-    K: jax.Array  # (C, G, bs) steady Kalman gain
-    M: jax.Array  # (C, G, bs, bs) filtered-mean transition (I - K h) A
+    Ph: jax.Array  # (C, G, bs) predictive-covariance column P_pred h —
+    # the filter gain is formed IN-SCAN as K = Ph(idx_{k-1}) tt_k / z
+    # because the reference mixes the PP looked up at the PREVIOUS step's
+    # site with the CURRENT step's noise (ihgp_ep_modulator_nmf.m:235-241
+    # lookup by R(n,k-1) vs :296 `K = W(ii,n)/(HPH(n)+R(n,k))`)
     Gn: jax.Array  # (C, G, bs, bs) steady smoother gain Pf A' Pp^{-1}
     hPph: jax.Array  # (C, G) steady predictive marginal variance h' Ppred h
-    hPfh: jax.Array  # (C, G) steady filtered marginal variance
     hPSh: jax.Array  # (C, G) steady smoothed marginal variance
 
 
@@ -133,66 +135,100 @@ def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
     any_good = jnp.any(good, axis=1)[:, None, None, None]
     P_coarse = jnp.where(any_good, P_coarse, Pinf[:, None])
 
-    # Cubic upsample of vec(P) over the log-noise grid: (C, G, bs, bs)
+    # Forward tables: the reference interpolates the DARE solution PP
+    # itself (ihgp_ep_modulator_nmf.m:130-133), then derives the gain at
+    # runtime — so P_pred is interpolated to the fine grid and Ph / hPph
+    # derived per fine point.
     P_pred = jnp.einsum("gk,ckij->cgij", Wint, P_coarse)
     P_pred = 0.5 * (P_pred + jnp.swapaxes(P_pred, -1, -2))
-
-    # Derived tables per fine grid point --------------------------------
-    Ph = jnp.einsum("cgij,cj->cgi", P_pred, H)  # (C, G, bs) P h
+    Ph = jnp.einsum("cgij,cj->cgi", P_pred, H)  # (C, G, bs)
     hPph = jnp.einsum("cgi,ci->cg", Ph, H)  # (C, G)
-    s = hPph + r_fine[None, :]  # innovation variance
-    K = Ph / s[..., None]  # (C, G, bs)
-    # filtered covariance Pf = P - K s K'
-    Pf = P_pred - s[..., None, None] * K[..., :, None] * K[..., None, :]
-    hPfh = jnp.einsum("ci,cgij,cj->cg", H, Pf, H)
-    # M = (I - K h) A
-    KH = K[..., :, None] * H[:, None, None, :]  # (C, G, bs, bs)
-    I = jnp.eye(bs, dtype=dt_)
-    M = jnp.einsum("cgij,cjk->cgik", I - KH, A)
-    # smoother gain G = Pf A' Pp^{-1}; Pp = A Pf A' + Q == P_pred (steady)
-    PfA = jnp.einsum("cgij,ckj->cgik", Pf, A)  # Pf A'
-    Gn = jnp.swapaxes(
+
+    # Smoother tables: the reference derives [PS, G] at the 32 COARSE grid
+    # points and cubically interpolates the derived tables (:157-190), NOT
+    # the other way around — PS is a nonlinear function of P, so the order
+    # matters (measured ~5% marginal-variance difference on modulator
+    # channels when deriving at fine points instead).
+    Phc = jnp.einsum("cgij,cj->cgi", P_coarse, H)
+    hPhc = jnp.einsum("cgi,ci->cg", Phc, H)
+    sc = hPhc + r_coarse[None, :]
+    Kc = Phc / sc[..., None]
+    # Filtered covariance — REFERENCE QUIRK preserved: the reference weights
+    # K K' by the NOISE ro, not the innovation variance S
+    # (ihgp_ep_modulator_nmf.m:162 `P = PP-K*ro(j)*K'`), i.e. Pf here is
+    # inflated by (h'PPh) K K' relative to the standard PP - K S K'.  The
+    # smoother gain and steady smoothed covariance inherit this; the
+    # reference's engine agreement depends on it (verified against the
+    # line-faithful oracle in tests/ref_oracle.py).
+    Pfc = P_coarse - r_coarse[None, :, None, None] * Kc[..., :, None] * Kc[..., None, :]
+    # smoother gain G = Pf A' (A Pf A' + Q)^{-1}  (ref :165-175; with the
+    # inflated Pf this is NOT the DARE identity, so the pseudo-prediction
+    # is formed explicitly)
+    APAQ = jnp.einsum("cij,cgjk,clk->cgil", A, Pfc, A) + Q[:, None]
+    APAQ = 0.5 * (APAQ + jnp.swapaxes(APAQ, -1, -2))
+    PfA = jnp.einsum("cgij,ckj->cgik", Pfc, A)  # Pf A'
+    Gc = jnp.swapaxes(
         jnp.linalg.solve(
-            jnp.swapaxes(P_pred + ssm.pad_eye[:, None], -1, -2),
+            jnp.swapaxes(APAQ + ssm.pad_eye[:, None], -1, -2),
             jnp.swapaxes(PfA, -1, -2),
         ),
         -1,
         -2,
     )
-    # steady smoothed covariance: PS = G PS G' + QQ, QQ = Pf - G Pp G'
-    QQ = Pf - jnp.einsum("cgij,cgjk,cglk->cgil", Gn, P_pred, Gn)
+    # steady smoothed covariance: PS = G PS G' + QQ, QQ = Pf - G PP G',
+    # eigen-clipped to PSD exactly as the reference (:176-177)
+    QQ = Pfc - jnp.einsum("cgij,cgjk,cglk->cgil", Gc, P_coarse, Gc)
     QQ = 0.5 * (QQ + jnp.swapaxes(QQ, -1, -2))
-    PS = jax.vmap(jax.vmap(dare_mod.dlyap_doubling))(Gn, QQ)
+    lamQ, VQ = jnp.linalg.eigh(QQ)
+    QQ = jnp.einsum("cgij,cgj,cgkj->cgik", VQ, jnp.maximum(lamQ, 0.0), VQ)
+    PSc = jax.vmap(jax.vmap(dare_mod.dlyap_doubling))(Gc, QQ)
+    # Smoother-stage failure tolerance (ref :180-185 drops ro points whose
+    # smoother DARE fails and re-interpolates without them): the Lyapunov
+    # doubling diverges when rho(G) >= 1 (near-zero effective noise), and a
+    # single bad coarse point would contaminate the interpolated fine table.
+    # Patch bad points (non-finite or large residual G PS G' - PS + QQ)
+    # with the nearest good one before interpolating.
+    res_s = jnp.max(
+        jnp.abs(
+            jnp.einsum("cgij,cgjk,cglk->cgil", Gc, PSc, Gc) - PSc + QQ
+        ),
+        axis=(-1, -2),
+    ) / (1.0 + jnp.max(jnp.abs(PSc), axis=(-1, -2)))
+    good_s = jnp.isfinite(res_s) & (res_s < 1e-6)
+    dist_s = jnp.abs(gi[:, None] - gi[None, :])[None]
+    dist_s = jnp.where(good_s[:, None, :], dist_s, jnp.iinfo(jnp.int32).max)
+    src_s = jnp.argmin(dist_s, axis=-1)  # (C, Gc)
+    PSc = jnp.take_along_axis(PSc, src_s[..., None, None], axis=1)
+    Gc = jnp.take_along_axis(Gc, src_s[..., None, None], axis=1)
+    any_good_s = jnp.any(good_s, axis=1)[:, None, None, None]
+    PSc = jnp.where(any_good_s, PSc, Pinf[:, None])
+    Gc = jnp.where(any_good_s, Gc, 0.0)
+    # interpolate the DERIVED smoother tables to the fine grid (ref :188-190)
+    Gn = jnp.einsum("gk,ckij->cgij", Wint, Gc)
+    PS = jnp.einsum("gk,ckij->cgij", Wint, PSc)
+    PS = 0.5 * (PS + jnp.swapaxes(PS, -1, -2))
     hPSh = jnp.einsum("ci,cgij,cj->cg", H, PS, H)
 
-    # Fully-failed channels (no converged grid point at all): the derived
-    # quantities above are meaningless (e.g. rho(Gn) >= 1 makes the Lyapunov
-    # solve diverge), so fall back to pure prediction at the prior: K = 0,
-    # M = A, Gn = 0, all marginal variances = h' Pinf h.
+    # Fully-failed channels (no converged grid point at all): fall back to
+    # pure prediction at the prior: Gn = 0, variances = h' Pinf h.
     ok1 = any_good[..., 0]  # (C, 1, 1)
     ok0 = any_good[..., 0, 0]  # (C, 1)
     hPinfh = jnp.einsum("ci,cij,cj->c", H, Pinf, H)[:, None]
-    K = jnp.where(ok1, K, 0.0)
-    M = jnp.where(any_good, M, A[:, None])
     Gn = jnp.where(any_good, Gn, 0.0)
     hPph = jnp.where(ok0, hPph, hPinfh)
-    hPfh = jnp.where(ok0, hPfh, hPinfh)
     hPSh = jnp.where(ok0, hPSh, hPinfh)
-    # Variance sanitizer: the cubic interpolation / Lyapunov doubling can
-    # produce slightly negative marginal variances near grid edges; the
-    # reference takes abs() with a warning (ihgp_ep_modulator_nmf.m:493-496).
+    # Variance sanitizer: cubic interpolation / Lyapunov doubling can yield
+    # slightly negative marginal variances near grid edges; the reference
+    # takes abs() with a warning (ihgp_ep_modulator_nmf.m:493-496).
     floor = 1e-10
     hPph = jnp.maximum(hPph, floor)
-    hPfh = jnp.maximum(hPfh, floor)
     hPSh = jnp.maximum(hPSh, floor)
 
     return IHGPTables(
         log_r=jnp.asarray(log_r_fine, dt_),
-        K=K,
-        M=M,
+        Ph=jnp.where(any_good[..., 0], Ph, 0.0),
         Gn=Gn,
         hPph=hPph,
-        hPfh=hPfh,
         hPSh=hPSh,
     )
 
@@ -208,7 +244,15 @@ def _lookup_idx(tables: IHGPTables, ttau: jax.Array) -> jax.Array:
     logR = -jnp.log10(jnp.maximum(ttau, 1e-300))
     logR = jnp.where(ttau > 0.0, logR, hi)
     x = (logR - lo) / (hi - lo) * (G - 1)
-    return jnp.clip(jnp.round(x).astype(jnp.int32), 0, G - 1)
+    # Nearest neighbor in LINEAR r exactly as the reference's
+    # min(abs(r - R)) (ihgp_ep_modulator_nmf.m:237): on the log-uniform grid
+    # the linear midpoint between r_i and r_{i+1} = rho*r_i sits at constant
+    # fractional index log10((1+rho)/2)/log10(rho) above i.
+    step = (hi - lo) / (G - 1)
+    rho = 10.0**step
+    shift = jnp.log10((1.0 + rho) / 2.0) / step
+    idx = jnp.floor(x - shift).astype(jnp.int32) + 1
+    return jnp.clip(idx, 0, G - 1)
 
 
 def _steady_filter_seq(
@@ -219,26 +263,31 @@ def _steady_filter_seq(
     sites: Sites,
     mom_fn,
     damp: float,
-    adf: bool,
+    match_mask: jax.Array,  # (T,) bool: re-match sites at these steps
     unroll: int = 1,
 ):
-    """Sequential steady filter with (optionally) interleaved ADF matching.
+    """Sequential steady filter with interleaved ADF matching.
 
     Ref ihgp_ep_modulator_nmf.m:233-310.  The moment match uses the steady
     *predictive* marginal h'Ph from the lookup at the previous step's site
-    (the reference's R(n, k-1) convention).
+    (the reference's R(n, k-1) convention).  ``match_mask`` is all-True on
+    the first (ADF) sweep and last-step-only on later sweeps, mirroring the
+    reference's ``itt == 1 || k == numel(yall)`` branch (:251).
     """
     C, bs = ssm.A.shape[0], ssm.A.shape[-1]
     dt_ = ssm.A.dtype
     car = jnp.arange(C)
     hPinfh = jnp.einsum("ci,cij,cj->c", ssm.H, ssm.Pinf, ssm.H)
+    Pinfh = jnp.einsum("cij,cj->ci", ssm.Pinf, ssm.H)  # (C, bs)
 
     def step(carry, inp):
-        m, ttau_prev = carry
-        y_k, obs_k, ttau_k, tnu_k = inp
-        # Predictive marginal via lookup at the previous step's sites.
+        m, ttau_prev, first = carry
+        y_k, obs_k, mm_k, ttau_k, tnu_k = inp
+        # Predictive marginal via lookup at the previous step's sites; the
+        # FIRST step uses Pinf directly, not a table entry
+        # (ihgp_ep_modulator_nmf.m:243-244 `else PP = Pinf`).
         idx_prev = _lookup_idx(tables, ttau_prev)
-        varp = tables.hPph[car, idx_prev]
+        varp = jnp.where(first, hPinfh, tables.hPph[car, idx_prev])
         fmu = jnp.einsum("ci,cij,cj->c", ssm.H, ssm.A, m)
 
         def do_match():
@@ -248,33 +297,35 @@ def _steady_filter_seq(
             tn = (1.0 - damp) * tnu_k + damp * ((dlZ - fmu * d2lZ) / denom)
             return lZk, jnp.maximum(tt, 0.0), tn
 
-        if adf:
-            lZk, tt, tn = jax.lax.cond(
-                obs_k, do_match, lambda: (jnp.zeros((), dt_), ttau_k, tnu_k)
-            )
-        else:
-            lZk, tt, tn = jnp.zeros((), dt_), ttau_k, tnu_k
+        lZk, tt, tn = jax.lax.cond(
+            jnp.logical_and(obs_k, mm_k),
+            do_match,
+            lambda: (jnp.zeros((), dt_), ttau_k, tnu_k),
+        )
 
         tt_eff = jnp.where(obs_k, tt, 0.0)
         idx = _lookup_idx(tables, tt_eff)
-        K = tables.K[car, idx]  # (C, bs)
-        M = tables.M[car, idx]  # (C, bs, bs)
-        # Safe site mean: grad of tn/max(tt, eps) w.r.t. tt underflows to NaN
-        # at tt == 0; guard the reciprocal inside the where instead.
-        inv_tt = jnp.where(tt_eff > 0.0, 1.0 / jnp.maximum(tt_eff, 1e-30), 0.0)
-        Ky = K * (tn * inv_tt)[:, None]
-        Mm = jnp.where(
-            tt_eff[:, None, None] > 0.0, M, ssm.A
-        )  # pure prediction when site off
-        m = jnp.einsum("cij,cj->ci", Mm, m) + Ky
+        # REFERENCE GAIN CONVENTION: K = PP(R_{k-1}) h / (h'PP(R_{k-1})h +
+        # R_k) — predictive covariance from the PREVIOUS step's lookup,
+        # noise from the CURRENT site (ihgp_ep_modulator_nmf.m:296).  In
+        # z-form the mean update m <- A m + K (ys - fmu) becomes
+        #   m <- A m + Ph_prev (tnu - ttau fmu) / (ttau hPh_prev + 1),
+        # exact at ttau -> 0 except the reference's hard pure-prediction
+        # branch (ttau == 0 ignores tnu), handled by the where().
+        Ph_prev = jnp.where(first, Pinfh, tables.Ph[car, idx_prev])
+        z = tt_eff * varp + 1.0
+        gain = jnp.where(tt_eff > 0.0, (tn - tt_eff * fmu) / z, 0.0)
+        m = jnp.einsum("cij,cj->ci", ssm.A, m) + Ph_prev * gain[:, None]
         # Flattened emission: stacking (T, C, bs) directly costs a 40x TPU
         # tile-padding blowup (see kalman.PackedTrajectory).
-        return (m, tt), (m.reshape(-1), idx, lZk, tt, tn)
+        return (m, tt, jnp.zeros_like(first)), (m.reshape(-1), idx, lZk, tt, tn)
 
     m0 = jnp.zeros((C, bs), dt_)
     tt0 = jnp.zeros((C,), dt_)
-    (_, _), (ms, idxs, lZ, ttau, tnu) = jax.lax.scan(
-        step, (m0, tt0), (y, mask, sites.ttau, sites.tnu), unroll=unroll
+    (_, _, _), (ms, idxs, lZ, ttau, tnu) = jax.lax.scan(
+        step, (m0, tt0, jnp.asarray(True)),
+        (y, mask, match_mask, sites.ttau, sites.tnu),
+        unroll=unroll,
     )
     return ms, idxs, lZ, Sites(ttau, tnu)
 
@@ -286,16 +337,31 @@ def _steady_filter_parallel(ssm, tables, y, mask, sites: Sites):
     TPU tile padding is ~32x — use only for T <~ 16k (IHGPConfig.parallel).
     Returns FLATTENED means (T, C*bs) plus the (T, C) grid indices.
     """
-    C = ssm.A.shape[0]
+    C, bs = ssm.A.shape[0], ssm.A.shape[-1]
     T = mask.shape[0]
     car = jnp.arange(C)
     tt_eff = jnp.where(mask[:, None], sites.ttau, 0.0)
     idx = _lookup_idx(tables, tt_eff)  # (T, C)
-    K = tables.K[car, idx]  # (T, C, bs)
-    M = tables.M[car, idx]  # (T, C, bs, bs)
+    # Reference gain convention (see _steady_filter_seq): gain column from
+    # the PREVIOUS step's lookup, noise from the CURRENT site.  With fixed
+    # sites idx_{k-1} is known for every k up front, so the recursion stays
+    # an affine scan: m_k = (A - K_k h'A) m_{k-1} + K_k ys_k.
+    hPinfh = jnp.einsum("ci,cij,cj->c", ssm.H, ssm.Pinf, ssm.H)
+    Pinfh = jnp.einsum("cij,cj->ci", ssm.Pinf, ssm.H)
+    Ph_prev = jnp.concatenate(
+        [Pinfh[None], tables.Ph[car, idx[:-1]]], axis=0
+    )  # (T, C, bs)
+    hPh_prev = jnp.concatenate(
+        [hPinfh[None], tables.hPph[car, idx[:-1]]], axis=0
+    )  # (T, C)
+    z = tt_eff * hPh_prev + 1.0
+    K = Ph_prev * (tt_eff / z)[..., None]  # (T, C, bs)
     on = tt_eff[..., None] > 0.0
     inv_tt = jnp.where(tt_eff > 0.0, 1.0 / jnp.maximum(tt_eff, 1e-30), 0.0)
-    c = K * (sites.tnu * inv_tt)[..., None]
+    c = jnp.where(on, K * (sites.tnu * inv_tt)[..., None], 0.0)
+    # M_k = (I - K_k h') A, pure prediction (M = A) when the site is off
+    KH = K[..., :, None] * ssm.H[None, :, None, :]  # (T, C, bs, bs)
+    M = jnp.einsum("tcij,cjk->tcik", jnp.eye(bs, dtype=ssm.A.dtype) - KH, ssm.A)
     M = jnp.where(on[..., None], M, ssm.A[None])
 
     def combine(a, b):
@@ -350,11 +416,16 @@ def _steady_smoother(ssm, tables, ms, idx, parallel: bool, unroll: int = 1):
     return jnp.concatenate([sm_rev, ms[-1:]], axis=0)
 
 
-def _resite(mp, params, cfg, y, mask, mu, var, sites: Sites, damp):
+def _resite(mp, params, cfg, y, mask, mu, var, sites: Sites, damp,
+            exclude_last: bool = False):
     """Vectorized EP re-matching at the smoothed cavity (all T at once).
 
     Identical scheme to nsgp_tpu.inference.ep._ep_resite
-    (ref ihgp_ep_modulator_nmf.m:397-437)."""
+    (ref ihgp_ep_modulator_nmf.m:397-437).  ``exclude_last`` mirrors the
+    reference's backward loop bounds (k = T-1..1; site T is refreshed in the
+    next forward pass instead)."""
+    if exclude_last:
+        mask = mask.at[-1].set(False)
     frac = cfg.ep_fraction
     v_raw = 1.0 / (1.0 / var - frac * sites.ttau)
     ok = (v_raw > 0.0) & mask[:, None]
@@ -410,22 +481,30 @@ def ihgp_infer(
 
     maxdiff = jnp.full((config.ep_itts,), jnp.inf, dt_)
     mu = var = None
+    all_steps = jnp.ones((T,), bool)
+    last_only = jnp.zeros((T,), bool).at[-1].set(True)
+    seq = not config.parallel
+    lZ_last = jnp.zeros((), dt_)
     for itt in range(config.ep_itts):
         damp = config.damp(itt)
         if itt == 0:
             ms, idx, lZ, sites = _steady_filter_seq(
-                ssm, tables, y, mask, sites, mom_fn, damp, adf=True,
+                ssm, tables, y, mask, sites, mom_fn, damp, all_steps,
                 unroll=config.unroll,
             )
             nlZ = nlZ.at[0].set(-jnp.sum(lZ))
             lZ_final = lZ
+            lZ_last = lZ[-1]
         elif config.parallel:
             ms, idx = _steady_filter_parallel(ssm, tables, y, mask, sites)
         else:
-            ms, idx, _, sites = _steady_filter_seq(
-                ssm, tables, y, mask, sites, mom_fn, damp, adf=False,
+            # Later forward passes still re-match the site at the very last
+            # step (ref ihgp_ep_modulator_nmf.m:251).
+            ms, idx, lZ_fwd, sites = _steady_filter_seq(
+                ssm, tables, y, mask, sites, mom_fn, damp, last_only,
                 unroll=config.unroll,
             )
+            lZ_last = lZ_fwd[-1]
         sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel,
                               unroll=config.unroll)
 
@@ -440,9 +519,14 @@ def ihgp_infer(
 
         if itt < config.ep_itts - 1:
             sites, lZ = _resite(mp, params, config, y, mask, mu, var, sites,
-                                config.damp(itt + 1))
+                                config.damp(itt + 1), exclude_last=seq)
+            if seq:
+                lZ = lZ.at[-1].set(lZ_last)
             nlZ = nlZ.at[itt + 1].set(-jnp.sum(lZ))
             lZ_final = lZ
+
+    if seq and config.ep_itts > 1:
+        lZ_final = lZ_final.at[-1].set(lZ_last)
 
     return IHGPResult(Eft=mu, Varft=var, lZ=lZ_final, sites=sites, nlZ=nlZ,
                       maxdiff=maxdiff)
@@ -478,7 +562,7 @@ def ihgp_energy(
         jnp.zeros((T, ssm.num_channels), ssm.A.dtype),
     )
     _, _, lZ, _ = _steady_filter_seq(
-        ssm, tables, y, mask, sites, mom_fn, config.damp(0), adf=True,
-        unroll=config.unroll,
+        ssm, tables, y, mask, sites, mom_fn, config.damp(0),
+        jnp.ones((T,), bool), unroll=config.unroll,
     )
     return -jnp.sum(lZ)

@@ -820,3 +820,267 @@ def gf_giekf_modulator_nmf_energy(ssm, W, sn2, y):
         m = m + K * v
         P = P - np.outer(K, K) * S
     return edata
+
+
+# ---------------------------------------------------------------------------
+# Infinite-horizon EP engine (ihgp_ep_modulator_nmf.m)
+# ---------------------------------------------------------------------------
+
+
+def _catmull_rom_matrix(x_grid, x_query):
+    """Cubic (Keys a=-0.5 / Catmull-Rom) interpolation matrix on a grid.
+
+    Equivalent of apxGrid('interp', {ro}, r, 3) for the log-uniform DARE
+    noise grid (apxGrid.m:99,187 usage in ihgp_ep_modulator_nmf.m:130-133).
+    Interpolates in continuous index space of ``x_grid`` (log-uniform).
+    """
+    x_grid = np.asarray(x_grid, float)
+    x_query = np.asarray(x_query, float)
+    n = len(x_grid)
+    # continuous index of each query point
+    pos = np.interp(x_query, x_grid, np.arange(n))
+    i0 = np.clip(np.floor(pos).astype(int), 0, n - 2)
+    t = pos - i0
+    Wm = np.zeros((len(x_query), n))
+    for q in range(len(x_query)):
+        i = i0[q]
+        tt = t[q]
+        w = np.array(
+            [
+                -0.5 * tt**3 + tt**2 - 0.5 * tt,
+                1.5 * tt**3 - 2.5 * tt**2 + 1.0,
+                -1.5 * tt**3 + 2.0 * tt**2 + 0.5 * tt,
+                0.5 * tt**3 - 0.5 * tt**2,
+            ]
+        )
+        idx = np.clip(np.array([i - 1, i, i + 1, i + 2]), 0, n - 1)
+        for j, wi in zip(idx, w):
+            Wm[q, j] += wi
+    return Wm
+
+
+def _ihgp_tables(ssm, ilist, n_coarse=32, n_fine=200, lo=-2.0, hi=4.0):
+    """DARE bank + smoother tables per channel.
+
+    Ref ihgp_ep_modulator_nmf.m:104-191.  Preserved quirks:
+      - filtered covariance P = PP - K*ro*K' (:162; NOT the standard
+        PP - K*S*K' — the noise, not the innovation variance, weights KK'),
+      - QQ eigen-clipped to PSD before the smoother DARE (:177),
+      - failed grid points dropped (here: replaced by nearest converged).
+    Returns dict: r (fine grid), PP[n] (G, bs, bs), PS[n], Gn[n].
+    """
+    from scipy.linalg import solve_discrete_are, solve_discrete_lyapunov
+
+    F, L_mat, Qc, H, Pinf = ssm
+    A, Q = lti_disc(F, L_mat, Qc, 1.0)
+    ro = np.logspace(lo, hi, n_coarse)
+    r = np.logspace(lo, hi, n_fine)
+    U = _catmull_rom_matrix(np.log10(ro), np.log10(r))
+    C = H.shape[0]
+    out = {"r": r, "PP": [], "PS": [], "G": []}
+    for n in range(C):
+        ii = slice(ilist[n], ilist[n + 1])
+        Ab, Qb, hb = A[ii, ii], Q[ii, ii], H[n, ii]
+        bs = Ab.shape[0]
+        PPo = np.zeros((n_coarse, bs, bs))
+        PSo = np.zeros((n_coarse, bs, bs))
+        Go = np.zeros((n_coarse, bs, bs))
+        ok = np.zeros(n_coarse, bool)
+        for j, roj in enumerate(ro):
+            try:
+                PP = solve_discrete_are(
+                    Ab.T, hb[:, None], Qb, np.array([[roj]])
+                )
+            except Exception:
+                continue
+            S = hb @ PP @ hb + roj
+            K = PP @ hb / S
+            P = PP - np.outer(K, K) * roj  # ref :162 quirk
+            APAQ = Ab @ P @ Ab.T + Qb
+            try:
+                Lc = cholesky(APAQ, lower=True)
+                G = cho_solve((Lc, True), (P @ Ab.T).T).T
+            except np.linalg.LinAlgError:
+                lam, V = np.linalg.eigh(APAQ)
+                keep = lam > 0
+                APAQ2 = (V[:, keep] * lam[keep]) @ V[:, keep].T
+                G = P @ Ab.T @ np.linalg.pinv(APAQ2)
+            QQ = P - G @ PP @ G.T
+            QQ = 0.5 * (QQ + QQ.T)
+            lam, V = np.linalg.eigh(QQ)
+            keep = lam > 0
+            QQ = (V[:, keep] * lam[keep]) @ V[:, keep].T
+            try:
+                PS2 = solve_discrete_lyapunov(G, QQ)
+            except Exception:
+                continue
+            PPo[j], PSo[j], Go[j] = PP, PS2, G
+            ok[j] = True
+        # replace failed grid points with the nearest converged one
+        good_idx = np.where(ok)[0]
+        assert good_idx.size > 0, "all DAREs failed for a channel"
+        for j in range(n_coarse):
+            if not ok[j]:
+                src = good_idx[np.argmin(np.abs(good_idx - j))]
+                PPo[j], PSo[j], Go[j] = PPo[src], PSo[src], Go[src]
+        out["PP"].append(np.einsum("gj,jab->gab", U, PPo))
+        out["PS"].append(np.einsum("gj,jab->gab", U, PSo))
+        out["G"].append(np.einsum("gj,jab->gab", U, Go))
+    return out
+
+
+def ihgp_ep_modulator_nmf_predict(
+    ssm, mom, y, C, block_sizes, ep_fraction, ep_damping, ep_itts
+):
+    """Prediction mode of the infinite-horizon EP engine.
+
+    Ref ihgp_ep_modulator_nmf.m:92-530.  Preserved behaviors:
+      - lookup of the predictive PP at step k by nearest |r - R(n, k-1)| in
+        LINEAR r (:235-241), R = 1/ttau, R = inf when ttau hit the zero
+        bound (:285-289), PP = Pinf at k = 1 (:243-244),
+      - moment match at the predicted mean H A m with the PP marginal
+        (:248-254), first sweep + last step only (:251),
+      - stationary recursion m = (A - K H A) m + K (tnu/ttau) per channel,
+        runtime filtered covariance P = PP - K R K' (:293-302),
+      - steady smoother: mean-only recursion with [PS, G] looked up at
+        R(:, k) (:373-442); EP re-site at the smoothed cavity with the PS
+        marginal; backward pass skips k = T,
+      - missing y: MATLAB max() ignores NaN, so the NaN moment derivatives
+        collapse to ttau = 0 => pure prediction; lZ gets log(Z_floor).
+    Returns Eft/Varft (per-step PS lookup; the reference tiles the k = 1
+    lookup, a strict subset of this), nlZ trace, sites.
+    """
+    F, L_mat, Qc, H, Pinf = ssm
+    y = np.asarray(y, float).ravel()
+    T = len(y)
+    d = F.shape[0]
+    A, Q = lti_disc(F, L_mat, Qc, 1.0)
+    ilist = np.concatenate([[0], np.cumsum(block_sizes)]).astype(int)
+    tab = _ihgp_tables(ssm, ilist)
+    r = tab["r"]
+
+    MS = np.zeros((d, T))
+    ttau = np.zeros((C, T))
+    tnu = np.zeros((C, T))
+    R = np.full((C, T), np.inf)
+    nlZ = np.zeros(ep_itts)
+    Varft = np.zeros((T, C))
+
+    ep_damp = ep_damping[0]
+    m = np.zeros(d)
+    for itt in range(1, ep_itts + 1):
+        lZ_acc = 0.0
+        # ### forward filter (ref :231-305)
+        m = np.zeros(d)
+        for k in range(T):
+            # look-up PP by R(n, k-1); Pinf at the first step
+            PP = np.zeros((d, d))
+            hPh = np.zeros(C)
+            if k == 0:
+                PP = Pinf.copy()
+            else:
+                for n in range(C):
+                    ii = slice(ilist[n], ilist[n + 1])
+                    ind = int(np.argmin(np.abs(r - R[n, k - 1])))
+                    if np.isinf(R[n, k - 1]):
+                        ind = len(r) - 1
+                    PP[ii, ii] = tab["PP"][n][ind]
+            for n in range(C):
+                ii = slice(ilist[n], ilist[n + 1])
+                hPh[n] = H[n, ii] @ PP[ii, ii] @ H[n, ii]
+
+            fmu = H @ (A @ m)
+            if itt == 1 or k == T - 1:
+                if np.isnan(y[k]):
+                    # MATLAB: Z = max(NaN, jitter) = jitter; derivative
+                    # updates produce NaN -> max(NaN, 0) = 0 site precision.
+                    lZ_acc += math.log(1e-10)
+                    ttau[:, k] = 0.0
+                    tnu[:, k] = 0.0
+                    R[:, k] = np.inf
+                else:
+                    lZ_k, dlZ, d2lZ = mom(fmu, hPh, 1.0, k)
+                    lZ_acc += lZ_k
+                    ttau[:, k] = (1 - ep_damp) * ttau[:, k] + ep_damp * (
+                        -d2lZ / (1 + d2lZ * hPh)
+                    )
+                    tnu[:, k] = (1 - ep_damp) * tnu[:, k] + ep_damp * (
+                        (dlZ - fmu * d2lZ) / (1 + d2lZ * hPh)
+                    )
+                    R[:, k] = 1.0 / ttau[:, k]
+            ttau[:, k] = np.maximum(ttau[:, k], 0.0)
+
+            for n in range(C):
+                ii = slice(ilist[n], ilist[n + 1])
+                if ttau[n, k] == 0.0:
+                    R[n, k] = np.inf
+                    m[ii] = A[ii, ii] @ m[ii]
+                else:
+                    K = PP[ii, ii] @ H[n, ii] / (hPh[n] + R[n, k])
+                    AKHA = A[ii, ii] - np.outer(K, H[n, ii] @ A[ii, ii])
+                    m[ii] = AKHA @ m[ii] + K * (tnu[n, k] / ttau[n, k])
+            MS[:, k] = m
+        if itt == 1:
+            nlZ[0] = -lZ_acc
+            # NOTE: the reference resets its lZ accumulator only at the TOP
+            # of each iteration, so nlZ(2) duplicates nlZ(1) (:223,:277).
+
+        # ### steady smoother + EP (ref :373-442)
+        if itt < ep_itts:
+            ep_damp = ep_damping[itt]
+        m = MS[:, -1]
+        # per-step lookups at R(:, k)
+        for k in range(T - 1, -1, -1):
+            G = np.zeros((d, d))
+            P = np.zeros((d, d))
+            for n in range(C):
+                ii = slice(ilist[n], ilist[n + 1])
+                ind = int(np.argmin(np.abs(r - R[n, k])))
+                if np.isinf(R[n, k]):
+                    ind = len(r) - 1
+                P[ii, ii] = tab["PS"][n][ind]
+                G[ii, ii] = tab["G"][n][ind]
+            Varft[k] = np.array(
+                [
+                    H[n, ilist[n] : ilist[n + 1]]
+                    @ P[ilist[n] : ilist[n + 1], ilist[n] : ilist[n + 1]]
+                    @ H[n, ilist[n] : ilist[n + 1]]
+                    for n in range(C)
+                ]
+            )
+            if k == T - 1:
+                continue  # backward loop runs k = T-1..1 (MATLAB)
+            m = MS[:, k] + G @ (m - A @ MS[:, k])
+            MS[:, k] = m
+
+            if itt < ep_itts and not np.isnan(y[k]):
+                m_marg = H @ m
+                v_marg = Varft[k].copy()
+                v_cav = 1.0 / (1.0 / v_marg - ep_fraction * ttau[:, k])
+                m_cav = v_cav * (m_marg / v_marg - ep_fraction * tnu[:, k])
+                upd = v_cav > 0
+                lZ_k, dlZ, d2lZ = mom(m_cav, v_cav, ep_fraction, k)
+                if itt > 1:
+                    lZ_acc += lZ_k
+                den = 1 + d2lZ * v_cav
+                tt_new = (1 - ep_damp * ep_fraction) * ttau[:, k] + ep_damp * (
+                    -d2lZ / den
+                )
+                tn_new = (1 - ep_damp * ep_fraction) * tnu[:, k] + ep_damp * (
+                    (dlZ - m_cav * d2lZ) / den
+                )
+                ttau[upd, k] = tt_new[upd]
+                tnu[upd, k] = tn_new[upd]
+                R[upd, k] = 1.0 / ttau[upd, k]
+        if itt < ep_itts:
+            nlZ[itt] = -lZ_acc
+
+    Eft = (H @ MS).T
+    return {
+        "Eft": Eft,
+        "Varft": Varft,
+        "nlZ": nlZ,
+        "ttau": ttau.T,
+        "tnu": tnu.T,
+        "tables": tab,
+    }

@@ -68,20 +68,21 @@ def test_parallel_ep_matches_golden(golden):
 
 def test_ihgp_reconstruction_matches_golden(golden):
     """The toy's sn2 = 1e-3 produces site precisions beyond the reference's
-    logspace(-2, 4) effective-noise grid, so widen it (grid_lo=-4); even so
-    the steady-state approximation converges slowly on a near-noiseless
-    signal (measured rmse 0.32 at 5 sweeps vs EP's 0.05 on ystd 2.05; 0.15
-    with the reference's Z floor disabled via z_floor=1e-300 — the floored
-    sites get ~zero derivative signal, exactly as in the reference, which
-    has the same character on low-noise toys)."""
+    logspace(-2, 4) effective-noise grid, so widen it (grid_lo=-4).  The
+    reference-exact engine needs the reference's heavy-damping IHGP regime
+    (damping 0.025-0.1, e.g. source_sep_piano.m:84-88): at damping 0.5 the
+    EP fixed-point iteration DIVERGES on this near-noiseless toy (verified
+    identical divergence in the line-faithful oracle), while 0.1 x 12
+    sweeps converges to rmse 0.18 vs EP's 0.05 on ystd 2.05."""
     model, params, y, g = golden
     r = ihgp.ihgp_infer(
         model, params, y, None,
-        ihgp.IHGPConfig(ep_itts=5, grid_lo=-4.0, grid_fine=300),
+        ihgp.IHGPConfig(ep_itts=12, grid_lo=-4.0, grid_fine=300,
+                        damping=(0.1,)),
     )
     y_ih = _recon(model, params, np.asarray(r.Eft))
     rmse_ih = np.sqrt(np.mean((y_ih - np.asarray(y)) ** 2))
-    assert rmse_ih < 0.4, rmse_ih
+    assert rmse_ih < 0.3, rmse_ih
     assert np.isfinite(np.asarray(r.nlZ)).all()
 
 

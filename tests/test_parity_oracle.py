@@ -289,3 +289,44 @@ def test_giekf_posterior_matches_reference(giekf_case):
 def test_giekf_energy_matches_reference(giekf_case):
     _, _, e_ref, e_jax = giekf_case
     assert abs(e_jax - e_ref) < 1e-8 * abs(e_ref)
+
+
+# ---------------------------------------------------------------------------
+# IHGP parity (ihgp_ep_modulator_nmf.m)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ihgp_case():
+    """NMF toy at T=1200: dense numpy oracle incl. DARE bank + lookups."""
+    from nsgp_tpu.inference.ihgp import IHGPConfig, ihgp_infer
+
+    ssm, mom, y, model, params, C = _nmf_demo_setup(T=1200, D=6, N=2, seed=7)
+    itts = 5
+    damp = [0.1] * itts
+    block_sizes = [4] * model.D + [3] * model.N
+    oracle = ref.ihgp_ep_modulator_nmf_predict(
+        ssm, mom, y, C, block_sizes, 0.5, damp, itts
+    )
+    res = ihgp_infer(model, params, jnp.asarray(y), None,
+                     IHGPConfig(ep_itts=itts, damping=(0.1,)))
+    return oracle, res
+
+
+def test_ihgp_posterior_matches_reference(ihgp_case):
+    """The steady-state engine must track the reference's IHGP exactly:
+    same DARE-bank tables (incl. the P = PP - K ro K' quirk), same
+    derive-at-coarse-then-interpolate smoother tables, same
+    previous-step-lookup gain convention."""
+    oracle, res = ihgp_case
+    e_scale = np.abs(oracle["Eft"]).max()
+    v_scale = np.abs(oracle["Varft"]).max()
+    assert np.abs(np.asarray(res.Eft) - oracle["Eft"]).max() < 1e-6 * e_scale
+    assert np.abs(np.asarray(res.Varft) - oracle["Varft"]).max() < 1e-6 * v_scale
+
+
+def test_ihgp_sites_match_reference(ihgp_case):
+    oracle, res = ihgp_case
+    np.testing.assert_allclose(
+        np.asarray(res.sites.ttau), oracle["ttau"], rtol=1e-5, atol=1e-8
+    )
