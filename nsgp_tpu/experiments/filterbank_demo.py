@@ -34,7 +34,7 @@ def run(file="speech0_female", D=12, kernel="matern32", seconds=0.75,
     y = y / jnp.std(y)
     T = int(y.shape[0])
 
-    kw = dict(num_levels=2, steps_per_level=200)
+    kw = dict(num_levels=4, steps_per_level=400)
     kw.update(fit_kwargs or {})
     t0 = time.perf_counter()
     fit = spectral.fit_probstft_staged(y, D, kernel=kernel, **kw)
@@ -42,7 +42,10 @@ def run(file="speech0_female", D=12, kernel="matern32", seconds=0.75,
 
     fb = fbm.build_filterbank(
         fit.sigma2, fit.lengthscales(kernel), fit.omega, kernel=kernel,
-        noise=fit.noise,
+        # the annealed-shrinkage fit can drive the noise to ~0; the steady
+        # DARE bank needs it positive (the reference passes an explicit
+        # vary to kernel_ss_probFB instead of the fitted noise)
+        noise=max(float(fit.noise), 1e-6),
     )
 
     # Steady (fast/IHGP) path: subband decomposition + reconstruction.

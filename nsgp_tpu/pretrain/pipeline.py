@@ -74,9 +74,13 @@ def train_gtnmf_fixed_params(
     fit = spectral.fit_probstft_staged(y, D, kernel=kernel1, **fbkw)
     sub_len = fit.lengthscales(kernel1)
 
-    # 2. steady-state Kalman filterbank transform
+    # 2. steady-state Kalman filterbank transform.  The reference passes
+    #    vary = 0 here (train_GTFNMF_fixed_params.m:64); our steady path
+    #    needs a positive noise for the DARE bank, and the annealed-beta
+    #    Whittle fit can drive the fitted noise to ~0, so floor it.
     fb = fb_mod.build_filterbank(
-        fit.sigma2, sub_len, fit.omega, kernel=kernel1, noise=fit.noise
+        fit.sigma2, sub_len, fit.omega, kernel=kernel1,
+        noise=jnp.maximum(fit.noise, 1e-6),
     )
     Z = fb_mod.steady_filterbank(fb, y).Z  # (T, D) complex
 
@@ -86,28 +90,45 @@ def train_gtnmf_fixed_params(
         jnp.real(Z).astype(y.dtype), ell=float(fs) / 10.0, steps=400
     ).envelope  # (T, D)
 
-    # 4. NMF of the (squared, for 'sq') envelopes -> W (D, N), H (T, N)
-    A = env**2 if variant == "sq" else env
-    res = nmf.nmf_fp(A, N, iters=200, restarts=8, key=jax.random.PRNGKey(seed))
+    # 4. NMF of the envelopes -> W (D, N), H (T, N).  The reference feeds
+    #    the GPPAD modulators directly for BOTH variants
+    #    (train_GTFNMF_fixed_params.m:82 `nmf_fp(mods, ...)`).
+    res = nmf.nmf_fp(env, N, iters=200, restarts=8, key=jax.random.PRNGKey(seed))
     H, W = nmf.order_by_fastness(res.H, res.W)
     # normalize components to mean 1 (scale absorbed into W)
     scale = jnp.mean(H, axis=0)
     H = H / scale[None, :]
     W = W * scale[None, :]
 
-    # 5. SE-GP Whittle fits to inverse-softplus components
-    g_lat = _inv_softplus(H)
-    fits = [segp.fit_segp(g_lat[:, n]) for n in range(N)]
-    mod_var = jnp.stack([f.var for f in fits])
-    mod_len = jnp.clip(jnp.stack([f.ell for f in fits]), 10.0, T / 2.0)
+    # 5. SE-GP Whittle fits to the thresholded, smoothed, mean-subtracted
+    #    log-latents, exactly per the reference (:95-111): logHthresh =
+    #    softplus^-1(H + 1e-2), smoothed with the softplus-bump filter
+    #    filt = softplus(-x^2/2)/sum over x in [-100, 100], mean removed,
+    #    and the fitted (var, len) scaled by 1.5 at save time (:127).
+    g_lat = _inv_softplus(H + 1e-2)
+    x = jnp.arange(-100, 101, dtype=y.dtype)
+    filt = jax.nn.softplus(-0.5 * x**2)
+    filt = filt / jnp.sum(filt)
+    g_sm = jnp.stack(
+        [jnp.convolve(g_lat[:, n], filt, mode="same") for n in range(N)],
+        axis=-1,
+    )
+    mux = jnp.mean(g_sm, axis=0)
+    fits = [segp.fit_segp(g_sm[:, n] - mux[n]) for n in range(N)]
+    mod_var = 1.5 * jnp.stack([f.var for f in fits])
+    mod_len = jnp.clip(1.5 * jnp.stack([f.ell for f in fits]), 10.0, T / 2.0)
 
     model = GTNMFModel(
         D=D, N=N, kernel1=kernel1, kernel2=kernel2,
         variant=variant, p_cubature=p_cubature,
     )
     params = GTNMFParams(
-        lik=fit.noise,
-        sub_var=fit.sigma2,
+        # Experiments set their own w_lik (denoising: the noise level,
+        # missing data: small); the floored fit noise is only a default.
+        lik=jnp.maximum(fit.noise, 1e-4),
+        # The reference saves FIXED subband variances 0.06, not the fitted
+        # ones — modulation absorbs the scale (:126 `param1 = 0.06*ones`).
+        sub_var=jnp.full((D,), 0.06, y.dtype),
         sub_len=sub_len,
         omega=fit.omega,
         mod_var=mod_var,

@@ -109,23 +109,29 @@ def _reassign_dead(
     var_y: float,
     thresh_frac: float,
 ):
-    """Move shrunken-away ("dead") components to the worst-fit frequency.
+    """Move dead or duplicate components to the worst-fit frequency.
 
     Ref fit_probSTFT_SD.m:359-415: a component whose variance has shrunk
     below threshold is re-initialized at the argmax of
     log(target) - log(model-without-it), with fresh variance/bandwidth
-    (mVar = 1/20 of signal variance, lam = 0.05 there).  Done between
-    coarse-to-fine levels, never after the last one.
+    (mVar = 1/20 of signal variance, lam = 0.05 there).
+
+    Beyond the reference: components that COLLAPSED ONTO EACH OTHER
+    (centers within one bandwidth) are treated the same way — the
+    lower-variance member of each duplicate pair is reassigned.  The
+    reference relies on variance shrinkage to separate duplicates
+    (fit_probSTFT_SD.m:418-420 notes its merge heuristic was abandoned),
+    but collapsed pairs whose variance stays above the floor slip through
+    and produce degenerate filterbanks (byte-identical components); this
+    fixes that failure mode.
     """
     p = np.array(log_params)
     sigma2 = np.exp(p[:D])
     lam = np.exp(p[D : 2 * D])
     omega0 = np.pi / (1.0 + np.exp(-p[2 * D : 3 * D]))
     floor = thresh_frac * var_y / D
-    moved = 0
-    for d in range(D):
-        if sigma2[d] >= floor:
-            continue
+
+    def reassign(d):
         keep = np.arange(D) != d
         S_others = np.asarray(
             mixture_spectrum(
@@ -142,7 +148,24 @@ def _reassign_dead(
         omega0[d] = float(w[int(np.argmax(dspec))])
         sigma2[d] = var_y / 20.0
         lam[d] = 0.05
+
+    moved = 0
+    for d in range(D):
+        if sigma2[d] >= floor:
+            continue
+        reassign(d)
         moved += 1
+    # duplicate-pair detection: centers closer than the NARROWER of the
+    # two bandwidths (min, not max: a freshly reassigned broad component
+    # legitimately sits near narrow neighbors, only genuinely collapsed
+    # pairs are this close)
+    for i in range(D):
+        for j in range(i + 1, D):
+            bw = min(lam[i], lam[j])
+            if abs(omega0[i] - omega0[j]) < bw:
+                d = i if sigma2[i] <= sigma2[j] else j
+                reassign(d)
+                moved += 1
     if moved:
         p[:D] = np.log(sigma2)
         p[D : 2 * D] = np.log(lam)
@@ -160,7 +183,7 @@ def fit_probstft(
     max_win: int = 4096,
     steps_per_level: int = 400,
     lr: float = 3e-2,
-    beta: float = 0.0,
+    beta: float = 100.0,
     seed: int = 0,
     init: FilterbankFit | None = None,
     reassign: bool = True,
@@ -174,10 +197,17 @@ def fit_probstft(
     level; initialize centers uniformly over (0, pi) and bandwidths from the
     window scale (ref fit_probSTFT_SD.m:200-250 init heuristics).
 
-    ``reassign``: between levels, re-initialize dead components (variance
-    below reassign_frac * var_y / D) at the worst-fit frequency (ref
-    :359-415).  ``rescale_variance``: rescale component variances at exit so
-    they sum to the signal variance (ref :484-490).
+    ``reassign``: re-initialize dead OR duplicate components (variance
+    below reassign_frac * var_y / D, or centers within one bandwidth) at
+    the worst-fit frequency (ref :359-415); after the final level the moved
+    components are re-fit and re-checked (up to 3 rounds).
+    ``rescale_variance``: rescale component variances at exit so they sum
+    to the signal variance (ref :484-490).
+    ``beta``: top of the ANNEALED shrinkage schedule on component
+    variances, logspace(log10(beta), 0) over levels exactly like the
+    reference's `bet` (fit_probSTFT_SD.m:179-183, default 100) — strong
+    early shrinkage prunes redundant components so reassignment can move
+    them; without it components collapse onto the dominant spectral peak.
     """
     import optax
 
@@ -209,7 +239,7 @@ def fit_probstft(
     )
 
     @partial(jax.jit, static_argnums=(2,))
-    def optimize(log_params, data, nsteps):
+    def optimize(log_params, data, nsteps, bet=0.0):
         w, target = data
         opt = optax.adam(lr)
         state = opt.init(log_params)
@@ -217,7 +247,7 @@ def fit_probstft(
         def body(carry, _):
             p, s = carry
             val, g = jax.value_and_grad(
-                lambda pp: _whittle_obj(kernel, pp, w, target, beta)
+                lambda pp: _whittle_obj(kernel, pp, w, target, bet)
             )(p)
             upd, s = opt.update(g, s)
             return (optax.apply_updates(p, upd), s), val
@@ -227,19 +257,37 @@ def fit_probstft(
         )
         return log_params, vals[-1]
 
+    if beta > 0.0:
+        betas = np.logspace(np.log10(beta), 0.0, len(wins))
+    else:
+        betas = np.zeros(len(wins))
     obj = jnp.asarray(0.0, dt_)
     for lvl, nwin in enumerate(wins):
         w, target = welch(y, int(nwin))
+        bet = float(betas[lvl])
         # drop DC
         log_params, obj = optimize(log_params, (w[1:], target[1:]),
-                                   steps_per_level)
-        if reassign and lvl < len(wins) - 1:
-            p, moved = _reassign_dead(
-                kernel, np.asarray(log_params), D, np.asarray(w[1:]),
-                np.asarray(target[1:]), float(var_y), reassign_frac,
-            )
-            if moved:
+                                   steps_per_level, bet)
+        if reassign:
+            # Final level: iterate reassign -> re-fit until clean (moved
+            # components need fitting, and may re-collide once), then one
+            # last reassignment WITHOUT re-optimization so the returned fit
+            # is guaranteed duplicate-free even when the optimizer keeps
+            # re-collapsing components onto a dominant peak.
+            final = lvl == len(wins) - 1
+            rounds = 3 if final else 1
+            for r in range(rounds):
+                p, moved = _reassign_dead(
+                    kernel, np.asarray(log_params), D, np.asarray(w[1:]),
+                    np.asarray(target[1:]), float(var_y), reassign_frac,
+                )
+                if not moved:
+                    break
                 log_params = jnp.asarray(p, dt_)
+                if final and r < rounds - 1:
+                    log_params, obj = optimize(
+                        log_params, (w[1:], target[1:]), steps_per_level, bet
+                    )
 
     sigma2 = jnp.exp(log_params[:D])
     lam = jnp.exp(log_params[D : 2 * D])

@@ -63,7 +63,7 @@ def test_build_tables_patches_failed_grid_points():
     tb_ref = ihgp.build_tables(ssm, cfg)
     tb_bad = ihgp.build_tables(ssm_bad, cfg)
 
-    for field in ("K", "M", "Gn", "hPph", "hPfh", "hPSh"):
+    for field in ("Ph", "Gn", "hPph", "hPSh"):
         arr = np.asarray(getattr(tb_bad, field))
         assert np.all(np.isfinite(arr)), field
         # healthy channels (1, 2) unchanged

@@ -134,8 +134,19 @@ def test_fit_probstft_staged_no_dead_components_on_speech():
     var_y = float(jnp.var(y))
     assert np.all(s2 >= 0.01 * var_y / D), s2 / var_y  # no dead components
     np.testing.assert_allclose(s2.sum(), var_y, rtol=1e-10)  # exit rescale
-    assert np.all(np.asarray(fit.omega) > 0)
-    assert np.all(np.asarray(fit.omega) < np.pi)
+    om = np.asarray(fit.omega)
+    assert np.all(om > 0)
+    assert np.all(om < np.pi)
+    # no duplicate components: every pair of centers separated by at least
+    # the narrower bandwidth of the pair (the round-2 artifact had 6 of 12
+    # byte-identical components; duplicate detection in _reassign_dead plus
+    # the annealed shrinkage schedule prevent the collapse)
+    lam = np.asarray(fit.lam)
+    for i in range(D):
+        for j in range(i + 1, D):
+            assert abs(om[i] - om[j]) >= min(lam[i], lam[j]), (
+                i, j, om[i], om[j], lam[i], lam[j],
+            )
 
 
 def test_gppad_learn_lengthscale_recovers_timescale():
