@@ -31,6 +31,8 @@ RESULT = {
     "value": None,
     "unit": "s/sweep",
     "vs_baseline": 0.0,
+    "ihgp_s_per_sweep": None,  # secondary metric: IHGP at the same scale
+    "ihgp_path": None,
 }
 BASELINE_S = 10.0  # seconds/sweep target on one chip (BASELINE.md)
 
@@ -139,6 +141,51 @@ def main():
                 RESULT["value"] = round(per_sweep, 4)
                 RESULT["vs_baseline"] = round(BASELINE_S / per_sweep, 2)
         except Exception as e:  # pallas may not compile on every backend
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+
+    # ------------------------------------------------------------------
+    # IHGP at the same scale: the engine built for T >~ 100k textures.
+    # Sequential steady scan vs the blocked two-level fast path
+    # (_steady_filter_blocked — never materializes (T, C, bs, bs)).
+    # Extra keys ride along in the JSON line; the headline metric stays EP.
+    # ------------------------------------------------------------------
+    from nsgp_tpu.inference import ihgp as ihgp_mod
+
+    IH_ITTS = 3
+    ih_cfgs = [
+        ("ihgp-seq", ihgp_mod.IHGPConfig(ep_itts=IH_ITTS, damping=(0.1,),
+                                         moment_chunk=8192)),
+        ("ihgp-blocked", ihgp_mod.IHGPConfig(ep_itts=IH_ITTS, damping=(0.1,),
+                                             parallel=True, chunk=2048,
+                                             moment_chunk=8192)),
+    ]
+    for name, cfg in ih_cfgs:
+        try:
+            def ih_run(y, cfg=cfg):
+                res = ihgp_mod.ihgp_infer(model, params, y, None, cfg)
+                return res.Eft, res.nlZ
+
+            t0 = time.perf_counter()
+            out = ih_run(y)
+            nlZ = np.asarray(out[1])
+            log(f"[{name}] ihgp_infer compile+run", t0)
+            log(f"[{name}] nlZ per sweep: {nlZ.tolist()}")
+            if not np.all(np.isfinite(nlZ)):
+                log(f"[{name}] non-finite energies; skipping")
+                continue
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = ih_run(y)
+                sync(out[1])
+            elapsed = (time.perf_counter() - t0) / reps
+            per_sweep = elapsed / IH_ITTS
+            log(f"[{name}] steady-state: {elapsed:.2f} s / {IH_ITTS} sweeps; "
+                f"{T * IH_ITTS / elapsed:,.0f} filtered samples/s/chip")
+            key = "ihgp_s_per_sweep"
+            if RESULT.get(key) is None or per_sweep < RESULT[key]:
+                RESULT[key] = round(per_sweep, 4)
+                RESULT["ihgp_path"] = name
+        except Exception as e:
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
 
     emit_and_exit()

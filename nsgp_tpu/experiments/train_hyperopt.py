@@ -1,0 +1,200 @@
+"""Hyperparameter-learning experiment on real audio.
+
+Equivalent of the reference's fminunc stage (train_model.m:222-246) and its
+gaps-training variant (train_GTFNMF_gaps.m): starting from the fixed-params
+initialization, optimize the EP marginal-likelihood energy over the
+constrained hyperparameter groups the reference tunes
+(tune_hypers = [lik, -, -, -, var_s, len_s, W], train_GTFNMF_gaps.m:130)
+with the reference's box constraints (:117-122), then show the learned
+hypers beating the init on downstream missing-data gap SNR.
+
+Differences by design: exact autodiff gradients through the EP energy +
+Adam replace fminunc finite differences (the reference EP engines return
+zero gradients, gf_ep_modulator_nmf.m:528).  Training uses the single-sweep
+ADF energy (ep_itts_train=1): the multi-sweep EP energy re-sites at a
+damped, unconverged fixed point, which makes the loss landscape noisy
+(measured: non-monotone traces at itts=2, clean descent at itts=1 — the
+same reason the reference's IHGP energy mode is ADF-only,
+ihgp_ep_modulator_nmf.m:533-624).
+
+CLI: python -m nsgp_tpu.experiments.train_hyperopt \
+        [--files speech0_female speech1_male] [--gaps]
+Writes results/train_hyperopt.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.apps import missing_data as md
+from nsgp_tpu.experiments import AUDIO_ROOT
+from nsgp_tpu.experiments.missing_data import gaps_for
+from nsgp_tpu.inference import learn
+from nsgp_tpu.pretrain import pipeline
+from nsgp_tpu.utils.audio import read_wav
+
+# Reference constraint ranges (train_GTFNMF_gaps.m:117-122)
+SPECS = {
+    "lik": "log",
+    "sub_var": "fixed",
+    "sub_len": "fixed",
+    "omega": "fixed",
+    "mod_var": (1.0, 10.0),
+    "mod_len": (200.0, 5000.0),
+    "W": (0.0, 1.5),
+}
+
+
+def train_gap_mask(T: int, gap_len: int = 100, spacing: int = 1000):
+    """Artificial training gaps (train_GTFNMF_gaps.m:169-177): length-100
+    gaps centered every 1000 samples, clear of the edges."""
+    mask = np.ones(T, bool)
+    half = int(np.ceil(gap_len / 2))
+    for pos in range(500, T - 500 + 1, spacing):
+        mask[max(pos - half, 0) : pos + half + 1] = False
+    return jnp.asarray(mask)
+
+
+def _clip_into(params):
+    """Clip the init into the constraint interiors (ref :134-139)."""
+    c = lambda x, lo, hi: jnp.clip(x, lo + 1e-3 * (hi - lo), hi - 1e-3 * (hi - lo))
+    return params._replace(
+        mod_var=c(params.mod_var, *SPECS["mod_var"]),
+        mod_len=c(params.mod_len, *SPECS["mod_len"]),
+        W=c(params.W, *SPECS["W"]),
+    )
+
+
+def run_file(
+    path: str,
+    D=12,
+    N=3,
+    kernel1="matern32",
+    train_seconds=0.6,
+    test_seconds=0.6,
+    steps=150,
+    learning_rate=1e-2,
+    ep_itts_train=1,
+    w_lik_train=1e-3,
+    gaps_train=False,
+    pretrain_kwargs=None,
+    eval_itts=8,
+):
+    y_raw, fs = read_wav(path)
+    y_raw = y_raw / (np.std(y_raw) + 1e-12)
+    n_train = int(train_seconds * fs)
+    n_test = int(test_seconds * fs)
+    y_train = jnp.asarray(y_raw[:n_train])
+    y_test = jnp.asarray(y_raw[n_train : n_train + n_test])
+
+    kw = dict(num_levels=2, steps_per_level=200)
+    kw.update(pretrain_kwargs or {})
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        tm = pipeline.train_gtnmf_fixed_params(
+            y_train, D=D, N=N, kernel1=kernel1, fs=float(fs),
+            filterbank_kwargs=kw,
+        )
+    init = _clip_into(tm.params._replace(lik=jnp.asarray(w_lik_train)))
+
+    mask = train_gap_mask(n_train) if gaps_train else None
+
+    t0 = time.perf_counter()
+    fit = learn.fit_hyperparams(
+        tm.model, init, y_train, mask=mask, engine="ep", specs=SPECS,
+        steps=steps, learning_rate=learning_rate, ep_itts=ep_itts_train,
+    )
+    opt_s = time.perf_counter() - t0
+    energies = np.asarray(fit.energies)
+
+    # Downstream evaluation: missing-data gap fill on the held-out segment,
+    # init vs learned hypers, same engine/config.
+    T = int(y_test.shape[0])
+    gmask = md.make_gap_mask(T, gaps_for(T))
+    ek = dict(ep_itts=eval_itts, ep_fraction=0.75, damping=(0.1,))
+    r_init = md.fill_gaps(tm.model, init, y_test, gmask, engine="ep",
+                          n_samples=20, **ek)
+    r_opt = md.fill_gaps(tm.model, fit.params, y_test, gmask, engine="ep",
+                         n_samples=20, **ek)
+
+    return {
+        "file": os.path.basename(path),
+        "fs": fs,
+        "D": D,
+        "N": N,
+        "kernel1": kernel1,
+        "gaps_train": bool(gaps_train),
+        "steps": steps,
+        "ep_itts_train": ep_itts_train,
+        "opt_seconds": round(opt_s, 3),
+        "energy_first": float(energies[0]),
+        "energy_last": float(energies[-1]),
+        "energy_trace": [float(e) for e in energies[:: max(1, steps // 20)]],
+        "snr_gaps_init_db": float(r_init.snr_gaps),
+        "snr_gaps_learned_db": float(r_opt.snr_gaps),
+        "learned": {
+            "lik": float(fit.params.lik),
+            "mod_var": np.asarray(fit.params.mod_var).tolist(),
+            "mod_len": np.asarray(fit.params.mod_len).tolist(),
+            "W_mean": float(jnp.mean(fit.params.W)),
+        },
+    }
+
+
+def run(files=("speech0_female", "speech1_male"), corpus="speech",
+        gaps_train=False, **kwargs):
+    out = {
+        "experiment": "train_hyperopt" + ("_gaps" if gaps_train else ""),
+        "tuned_groups": [g for g, s in SPECS.items() if s != "fixed"],
+        "files": [],
+    }
+    for name in files:
+        path = os.path.join(AUDIO_ROOT, corpus, f"{name}.wav")
+        out["files"].append(run_file(path, gaps_train=gaps_train, **kwargs))
+    out["aggregate"] = {
+        "mean_energy_drop": float(
+            np.mean([f["energy_first"] - f["energy_last"] for f in out["files"]])
+        ),
+        "mean_snr_gain_db": float(
+            np.mean(
+                [f["snr_gaps_learned_db"] - f["snr_gaps_init_db"] for f in out["files"]]
+            )
+        ),
+    }
+    return out
+
+
+def main():
+    import argparse
+
+    from nsgp_tpu.experiments.missing_data import _setup_backend
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--files", nargs="+",
+                    default=["speech0_female", "speech1_male"])
+    ap.add_argument("--corpus", default="speech")
+    ap.add_argument("--gaps", action="store_true",
+                    help="train with artificial gaps (train_GTFNMF_gaps.m)")
+    ap.add_argument("--steps", type=int, default=80)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.out is None:
+        args.out = "results/train_hyperopt%s.json" % ("_gaps" if args.gaps else "")
+    _setup_backend(args.device)
+    res = run(files=tuple(args.files), corpus=args.corpus,
+              gaps_train=args.gaps, steps=args.steps)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res["aggregate"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

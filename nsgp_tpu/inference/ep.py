@@ -61,6 +61,9 @@ class EPConfig(NamedTuple):
     channel_axis: str = ""  # mesh axis name to shard the channel dim over
     # (requires an ambient mesh via jax.sharding.set_mesh; see
     # nsgp_tpu.parallel.mesh.shard_inference_over_channels)
+    time_axis: str = ""  # mesh axis name to shard the blocked-scan CHUNK
+    # dimension over (parallel=True + chunk > 0 only): passes 1/3 partition
+    # with zero comms, pass 2's chunk-total compose is the only exchange
 
     def damp(self, itt: int) -> float:
         if len(self.damping) == 0:
@@ -181,7 +184,8 @@ def _forward_backward(ssm, sites, cfg: EPConfig):
         if cfg.chunk:
             from nsgp_tpu.ops import bscan
 
-            return bscan.blocked_filter_smoother(ssm, sites, cfg.chunk)
+            return bscan.blocked_filter_smoother(ssm, sites, cfg.chunk,
+                                                 time_axis=cfg.time_axis)
         from nsgp_tpu.ops import pscan
 
         ms, Ps = pscan.filter_smoother_with_sites(ssm, sites, jitter=cfg.jitter)

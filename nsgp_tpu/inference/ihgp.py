@@ -54,11 +54,13 @@ class IHGPConfig(NamedTuple):
     grid_coarse: int = 32
     grid_fine: int = 200
     unroll: int = 8  # lax.scan unroll for the sequential steady passes
-    parallel: bool = False  # affine associative scans for sweeps >= 2.
-    # Default off: the parallel path gathers per-step (T, C, bs, bs) gain
-    # tensors whose TPU tile padding is 32x (OOM at T ~ 100k on one chip),
-    # and the sequential scan is faster on one chip for these block sizes
-    # anyway.  Use True only for T <~ 16k or sharded-time experiments.
+    parallel: bool = False  # parallel-in-time passes for sweeps >= 2.
+    # With chunk == 0 this is the one-level associative scan, which gathers
+    # per-step (T, C, bs, bs) gain tensors whose TPU tile padding is 32x
+    # (OOM at T ~ 100k on one chip) — small-T only.  With chunk > 0 the
+    # BLOCKED two-level scan (see _steady_filter_blocked) never
+    # materializes them and is the long-signal fast path.
+    chunk: int = 1024  # blocked-scan chunk length for parallel=True
 
     def damp(self, itt: int) -> float:
         if len(self.damping) == 0:
@@ -373,6 +375,173 @@ def _steady_filter_parallel(ssm, tables, y, mask, sites: Sites):
     return ms.reshape(T, -1), idx
 
 
+def _steady_elems(ssm, tables, sites: Sites, mask):
+    """Per-step affine filter elements (idx, and gather inputs) for the
+    fixed-site steady recursion  m_k = M_k m_{k-1} + c_k  with
+    M_k = (I - K_k h') A,  c_k = K_k ys_k, under the reference gain
+    convention (gain column from the previous step's lookup, noise from the
+    current site — see _steady_filter_seq).  Returns per-step small arrays
+    only ((T, C) scalars + (T, C) int indices); the (bs,)-sized gathers
+    happen inside the scans so no (T, C, bs, bs) tensor is materialized.
+    """
+    C = ssm.A.shape[0]
+    car = jnp.arange(C)
+    tt_eff = jnp.where(mask[:, None], sites.ttau, 0.0)
+    idx = _lookup_idx(tables, tt_eff)  # (T, C) current-site index
+    hPinfh = jnp.einsum("ci,cij,cj->c", ssm.H, ssm.Pinf, ssm.H)
+    hPh_prev = jnp.concatenate(
+        [hPinfh[None], tables.hPph[car, idx[:-1]]], axis=0
+    )  # (T, C)
+    z = tt_eff * hPh_prev + 1.0
+    gain_c = jnp.where(tt_eff > 0.0, sites.tnu / z, 0.0)  # c = Ph_prev * .
+    gain_K = tt_eff / z  # K = Ph_prev * .
+    return idx, gain_K, gain_c
+
+
+def _steady_filter_blocked(ssm, tables, y, mask, sites: Sites, chunk: int):
+    """Blocked two-level parallel steady filter with FIXED sites.
+
+    Same three-pass structure as ops.bscan (pass 1 composes each chunk's
+    total affine map, pass 2 prefixes chunk totals, pass 3 re-walks and
+    emits), but with the much simpler IHGP affine elements (M, c) — the
+    covariance never propagates.  Sequential depth 2L + T/L instead of T;
+    peak per-step tensor is (nc, C, bs, bs), transient inside the scan.
+    """
+    C, bs = ssm.H.shape
+    dt_ = ssm.A.dtype
+    T = mask.shape[0]
+    L = int(chunk)
+    idx, gain_K, gain_c = _steady_elems(ssm, tables, sites, mask)
+    Pinfh = jnp.einsum("cij,cj->ci", ssm.Pinf, ssm.H)
+    HA = jnp.einsum("ci,cij->cj", ssm.H, ssm.A)
+
+    pad = (-T) % L
+    if pad:
+        pz = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0
+        )
+        idx, gain_K, gain_c = pz(idx), pz(gain_K), pz(gain_c)
+    Tp = idx.shape[0]
+    nc = Tp // L
+    shp = lambda x: jnp.swapaxes(x.reshape(nc, L, C), 0, 1)  # (L, nc, C)
+    idx_s, K_s, c_s = shp(idx), shp(gain_K), shp(gain_c)
+    # previous-step index rows, shifted across the whole sequence
+    idx_prev = jnp.concatenate([idx[:1], idx[:-1]], axis=0)
+    idxp_s = shp(idx_prev)
+    first_chunk = (jnp.arange(nc) == 0)[:, None, None]
+    car = jnp.arange(C)
+
+    def elem(i, idxp_r, K_r, c_r):
+        # Ph from the previous step's lookup; global step 0 uses Pinf.
+        is_first = first_chunk & (i == 0)
+        Ph = jnp.where(is_first, Pinfh[None], tables.Ph[car, idxp_r])
+        K = Ph * K_r[..., None]  # (nc, C, bs)
+        M = ssm.A[None] - K[..., :, None] * HA[None, :, None, :]
+        c = Ph * c_r[..., None]
+        return M, c
+
+    def combine(a, b):  # b after a
+        Ma, ca = a
+        Mb, cb = b
+        return Mb @ Ma, jnp.einsum("...ij,...j->...i", Mb, ca) + cb
+
+    ident = (
+        jnp.broadcast_to(jnp.eye(bs, dtype=dt_), (nc, C, bs, bs)),
+        jnp.zeros((nc, C, bs), dt_),
+    )
+
+    def pass1(carry, inp):
+        i, idxp_r, K_r, c_r = inp
+        return combine(carry, elem(i, idxp_r, K_r, c_r)), None
+
+    steps = (jnp.arange(L), idxp_s, K_s, c_s)
+    totals, _ = jax.lax.scan(pass1, ident, steps)
+
+    inc = jax.lax.associative_scan(combine, totals, axis=0)
+    ident1 = (
+        jnp.broadcast_to(jnp.eye(bs, dtype=dt_), (1, C, bs, bs)),
+        jnp.zeros((1, C, bs), dt_),
+    )
+    prefix = jax.tree.map(
+        lambda a, i: jnp.concatenate([i, a[:-1]], axis=0), inc, ident1
+    )
+
+    def pass3(carry, inp):
+        i, idxp_r, K_r, c_r = inp
+        new = combine(carry, elem(i, idxp_r, K_r, c_r))
+        return new, new[1].reshape(nc, -1)
+
+    _, ms = jax.lax.scan(pass3, prefix, steps)
+    ms = jnp.swapaxes(ms, 0, 1).reshape(nc * L, -1)[:T]
+    return ms, idx[:T]
+
+
+def _steady_smoother_blocked(ssm, tables, ms, idx, chunk: int):
+    """Blocked two-level steady smoother: ms_k = G_k ms_{k+1} + c_k.
+
+    Reverse analogue of _steady_filter_blocked; gathers the (C, bs, bs)
+    smoother gain per step INSIDE the scans.
+    """
+    C, bs = ssm.H.shape
+    dt_ = ssm.A.dtype
+    T = ms.shape[0]
+    L = int(chunk)
+    pad = (-T) % L
+    if pad:  # pad at the FRONT so the global last step stays last
+        ms_p = jnp.concatenate([jnp.zeros((pad, ms.shape[1]), dt_), ms], 0)
+        idx_p = jnp.concatenate([idx[:1].repeat(pad, 0), idx], 0)
+    else:
+        ms_p, idx_p = ms, idx
+    Tp = ms_p.shape[0]
+    nc = Tp // L
+    ms_s = jnp.swapaxes(ms_p.reshape(nc, L, -1), 0, 1)  # (L, nc, C*bs)
+    idx_s = jnp.swapaxes(idx_p.reshape(nc, L, C), 0, 1)
+    last_chunk = (jnp.arange(nc) == nc - 1)[:, None, None]
+    car = jnp.arange(C)
+
+    def elem(i, idx_r, ms_r):
+        mf = ms_r.reshape(nc, C, bs)
+        G = tables.Gn[car, idx_r]  # (nc, C, bs, bs)
+        c = mf - jnp.einsum("ncij,cjk,nck->nci", G, ssm.A, mf)
+        is_last = last_chunk & (i == L - 1)
+        G = jnp.where(is_last[..., None], 0.0, G)
+        c = jnp.where(is_last, mf, c)
+        return G, c
+
+    def combine(later, earlier):
+        Ga, ca = later
+        Gb, cb = earlier
+        return Gb @ Ga, jnp.einsum("...ij,...j->...i", Gb, ca) + cb
+
+    ident = (
+        jnp.broadcast_to(jnp.eye(bs, dtype=dt_), (nc, C, bs, bs)),
+        jnp.zeros((nc, C, bs), dt_),
+    )
+    steps = (jnp.arange(L), idx_s, ms_s)
+
+    def pass1(carry, inp):
+        i, idx_r, ms_r = inp
+        return combine(carry, elem(i, idx_r, ms_r)), None
+
+    totals, _ = jax.lax.scan(pass1, ident, steps, reverse=True)
+    inc = jax.lax.associative_scan(combine, totals, axis=0, reverse=True)
+    ident1 = (
+        jnp.broadcast_to(jnp.eye(bs, dtype=dt_), (1, C, bs, bs)),
+        jnp.zeros((1, C, bs), dt_),
+    )
+    suffix = jax.tree.map(
+        lambda a, i: jnp.concatenate([a[1:], i], axis=0), inc, ident1
+    )
+
+    def pass3(carry, inp):
+        i, idx_r, ms_r = inp
+        new = combine(carry, elem(i, idx_r, ms_r))
+        return new, new[1].reshape(nc, -1)
+
+    _, sm = jax.lax.scan(pass3, suffix, steps, reverse=True)
+    return jnp.swapaxes(sm, 0, 1).reshape(nc * L, -1)[pad:]
+
+
 def _steady_smoother(ssm, tables, ms, idx, parallel: bool, unroll: int = 1):
     """Steady RTS smoother on filtered means: ms_k = G (ms_{k+1}) + c_k.
 
@@ -496,7 +665,12 @@ def ihgp_infer(
             lZ_final = lZ
             lZ_last = lZ[-1]
         elif config.parallel:
-            ms, idx = _steady_filter_parallel(ssm, tables, y, mask, sites)
+            if config.chunk:
+                ms, idx = _steady_filter_blocked(
+                    ssm, tables, y, mask, sites, config.chunk
+                )
+            else:
+                ms, idx = _steady_filter_parallel(ssm, tables, y, mask, sites)
         else:
             # Later forward passes still re-match the site at the very last
             # step (ref ihgp_ep_modulator_nmf.m:251).
@@ -505,8 +679,12 @@ def ihgp_infer(
                 unroll=config.unroll,
             )
             lZ_last = lZ_fwd[-1]
-        sm = _steady_smoother(ssm, tables, ms, idx, parallel=config.parallel,
-                              unroll=config.unroll)
+        if config.parallel and config.chunk:
+            sm = _steady_smoother_blocked(ssm, tables, ms, idx, config.chunk)
+        else:
+            sm = _steady_smoother(ssm, tables, ms, idx,
+                                  parallel=config.parallel,
+                                  unroll=config.unroll)
 
         mu_new = sm @ Hm
         var_new = tables.hPSh[car, idx]  # (T, C) steady smoothed variances

@@ -35,6 +35,24 @@ from nsgp_tpu.ops.pscan import _filter_combine, _smoother_combine, _sym
 from nsgp_tpu.ops.ssm import BlockSSM
 
 
+def _chunk_sharded(x, time_axis: str):
+    """Seed GSPMD with a chunk-axis sharding (no-op if axis empty).
+
+    ``x`` has the chunk axis LEADING ((nc, L, ...)).  Each device then owns
+    a contiguous run of chunks; passes 1 and 3 (the vmapped within-chunk
+    scans) partition with zero communication, and the pass-2 associative
+    scan over the nc chunk totals is the ONLY cross-device exchange — the
+    blocked scan is exactly the algorithm whose chunk axis shards over a
+    mesh 'time' axis.
+    """
+    if not time_axis:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(time_axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def _pad_T(x, L):
     """Pad the leading time axis to a multiple of L."""
     T = x.shape[0]
@@ -90,10 +108,14 @@ def _make_filter_elem(ssm: BlockSSM, tt, tn, is_first):
     )
 
 
-def blocked_filter_with_sites(ssm: BlockSSM, sites: Sites, chunk: int = 512):
+def blocked_filter_with_sites(ssm: BlockSSM, sites: Sites, chunk: int = 512,
+                              time_axis: str = ""):
     """Parallel-in-time forward filter with fixed sites; O(2L + T/L) depth.
 
     Returns FLATTENED filtered moments (ms (T, C*bs), Ps (T, C*bs*bs)).
+    ``time_axis``: mesh axis name to shard the chunk dimension over (see
+    _chunk_sharded) — the TPU-native stand-in for multi-host time
+    parallelism.
     """
     C, bs = ssm.H.shape
     dt_ = ssm.A.dtype
@@ -101,8 +123,8 @@ def blocked_filter_with_sites(ssm: BlockSSM, sites: Sites, chunk: int = 512):
     tt, T = _pad_T(sites.ttau, L)  # zero-padded sites => inert steps
     tn, _ = _pad_T(sites.tnu, L)
     nc = tt.shape[0] // L
-    tt = tt.reshape(nc, L, C)
-    tn = tn.reshape(nc, L, C)
+    tt = _chunk_sharded(tt.reshape(nc, L, C), time_axis)
+    tn = _chunk_sharded(tn.reshape(nc, L, C), time_axis)
     first_chunk = (jnp.arange(nc) == 0)[:, None, None, None]
 
     def pass1(carry, inp):
@@ -170,7 +192,8 @@ def _make_smoother_elem(ssm: BlockSSM, ms_row, Ps_row, is_last):
     )
 
 
-def blocked_rts_smoother(ssm: BlockSSM, ms, Ps, chunk: int = 512):
+def blocked_rts_smoother(ssm: BlockSSM, ms, Ps, chunk: int = 512,
+                         time_axis: str = ""):
     """Parallel-in-time RTS smoother over FLATTENED filtered moments.
 
     Returns flattened smoothed (ms (T, C*bs), Ps (T, C*bs*bs)).
@@ -192,8 +215,8 @@ def blocked_rts_smoother(ssm: BlockSSM, ms, Ps, chunk: int = 512):
         ms_p, Ps_p = ms, Ps
     Tp = ms_p.shape[0]
     nc = Tp // L
-    msc = ms_p.reshape(nc, L, -1)
-    Psc = Ps_p.reshape(nc, L, -1)
+    msc = _chunk_sharded(ms_p.reshape(nc, L, -1), time_axis)
+    Psc = _chunk_sharded(Ps_p.reshape(nc, L, -1), time_axis)
     last_chunk = (jnp.arange(nc) == nc - 1)[:, None, None, None]
 
     def ident(n):
@@ -240,8 +263,8 @@ def blocked_rts_smoother(ssm: BlockSSM, ms, Ps, chunk: int = 512):
 
 
 def blocked_filter_smoother(ssm: BlockSSM, sites: Sites, chunk: int = 512,
-                            jitter: float = 0.0):
+                            jitter: float = 0.0, time_axis: str = ""):
     """One full linear-Gaussian forward/backward pass, blocked-parallel."""
     del jitter  # pad_eye regularizes the smoother-gain solves
-    ms, Ps = blocked_filter_with_sites(ssm, sites, chunk)
-    return blocked_rts_smoother(ssm, ms, Ps, chunk)
+    ms, Ps = blocked_filter_with_sites(ssm, sites, chunk, time_axis)
+    return blocked_rts_smoother(ssm, ms, Ps, chunk, time_axis)

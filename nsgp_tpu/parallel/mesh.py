@@ -133,3 +133,26 @@ def shard_inference_over_channels(
     cfg = config._replace(channel_axis="channel")
     with jax.sharding.set_mesh(mesh):
         return ep.ep_infer(model, params, y, None, cfg)
+
+
+def shard_inference_over_time(
+    model: GTNMFModel,
+    params: GTNMFParams,
+    y: jax.Array,
+    mesh: Mesh,
+    config: ep.EPConfig = ep.EPConfig(),
+    chunk: int = 512,
+):
+    """Single-signal EP inference with the TIME axis sharded over 'time'.
+
+    Uses the blocked two-level scan (ops.bscan): its chunk dimension is
+    sharded across the mesh, so passes 1/3 (the within-chunk work — all the
+    O(T) compute) partition with zero communication and only the pass-2
+    chunk-total compose exchanges (nc, C, bs, bs)-sized elements.  This is
+    the credible stand-in for multi-host time parallelism on long signals
+    (BASELINE.md's 2-host scaling target): per-device work is T/n_dev while
+    comms stay O(T/chunk).
+    """
+    cfg = config._replace(parallel=True, chunk=chunk, time_axis="time")
+    with jax.sharding.set_mesh(mesh):
+        return ep.ep_infer(model, params, y, None, cfg)

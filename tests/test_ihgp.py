@@ -125,3 +125,22 @@ def test_ihgp_energy_finite_and_differentiable():
     )(params)
     flat, _ = jax.flatten_util.ravel_pytree(g)
     assert np.all(np.isfinite(np.asarray(flat)))
+
+
+def test_blocked_steady_passes_match_one_level():
+    """parallel=True with chunk>0 (blocked two-level scan, the long-signal
+    fast path that never materializes (T, C, bs, bs)) must agree with the
+    one-level associative scan (chunk=0) to float tolerance."""
+    model, params = _toy()
+    y, _, _ = sample_prior(jax.random.PRNGKey(3), model, params, T=1500)
+    kw = dict(ep_itts=5, damping=(0.1,), parallel=True)
+    r_one = ihgp.ihgp_infer(model, params, y, None,
+                            ihgp.IHGPConfig(chunk=0, **kw))
+    r_blk = ihgp.ihgp_infer(model, params, y, None,
+                            ihgp.IHGPConfig(chunk=256, **kw))
+    np.testing.assert_allclose(
+        np.asarray(r_blk.Eft), np.asarray(r_one.Eft), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_blk.Varft), np.asarray(r_one.Varft), atol=1e-10
+    )

@@ -105,3 +105,49 @@ def test_train_step_keeps_params_positive():
         p2, _, _ = step(params, state, ys, masks)
     for name in ("lik", "sub_var", "sub_len", "omega", "mod_var", "mod_len", "W"):
         assert np.all(np.asarray(getattr(p2, name)) > 0), name
+
+
+def test_time_sharded_ep_matches_unsharded():
+    """Blocked-scan chunk axis sharded over an 8-device 'time' mesh axis
+    must reproduce the unsharded blocked path exactly (VERDICT r2 item 7:
+    the stand-in for the unmeasurable multi-host scaling target)."""
+    from nsgp_tpu.parallel import mesh as pmesh
+
+    model, params = _toy()
+    y, _, _ = sample_prior(jax.random.PRNGKey(5), model, params, T=2048)
+    cfg = ep.EPConfig(ep_itts=3, parallel=True, chunk=256)
+    r_ref = ep.ep_infer(model, params, y, None, cfg)
+
+    m = pmesh.make_mesh({"time": 8})
+    r_sh = pmesh.shard_inference_over_time(model, params, y, m, cfg,
+                                           chunk=256)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.Eft), np.asarray(r_ref.Eft), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sh.Varft), np.asarray(r_ref.Varft), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sh.nlZ), np.asarray(r_ref.nlZ), rtol=1e-10
+    )
+
+
+def test_time_and_channel_mesh_ep():
+    """2D time x channel mesh: both axes sharded simultaneously."""
+    from jax.sharding import Mesh
+    from nsgp_tpu.parallel import mesh as pmesh
+
+    model, params = _toy()
+    y, _, _ = sample_prior(jax.random.PRNGKey(6), model, params, T=1024)
+    cfg = ep.EPConfig(ep_itts=2, parallel=True, chunk=128,
+                      channel_axis="channel", time_axis="time")
+    r_ref = ep.ep_infer(
+        model, params, y, None,
+        ep.EPConfig(ep_itts=2, parallel=True, chunk=128),
+    )
+    m = pmesh.make_mesh({"time": 4, "channel": 2})
+    with jax.sharding.set_mesh(m):
+        r_sh = ep.ep_infer(model, params, y, None, cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.Eft), np.asarray(r_ref.Eft), atol=1e-9
+    )
