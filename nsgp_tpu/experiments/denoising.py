@@ -21,7 +21,9 @@ import numpy as np
 
 from nsgp_tpu.apps import denoise as dn
 from nsgp_tpu.experiments import AUDIO_ROOT
-from nsgp_tpu.pretrain import pipeline
+from nsgp_tpu.pretrain import filterbank as fb_mod
+from nsgp_tpu.pretrain import pipeline, spectral
+from nsgp_tpu.utils import metrics
 from nsgp_tpu.utils.audio import read_wav
 
 NOISE_LEVELS = (0.01, 0.05, 0.1, 0.3, 0.5)  # ref noise_reduction_speech.m:34
@@ -51,6 +53,15 @@ def run_file(
     )
     y_norm = y_clean / jnp.std(y_clean)
 
+    # Wiener baseline (ref noise_reduction_results.m:23-63 compares against a
+    # Wiener-filter baseline): a STATIONARY spectral-mixture fit to the clean
+    # training signal, applied as an FFT Wiener filter with the observation
+    # noise set to the true added variance — the classical no-modulator
+    # counterpart of the GT-NMF model.
+    wfit = spectral.fit_probstft_staged(y_norm, D, kernel=kernel1, **kw)
+    w_len = wfit.lengthscales(kernel1)
+    w_noise = float(jnp.maximum(wfit.noise, 1e-6))
+
     rows = []
     for i, v in enumerate(noise_levels):
         key = jax.random.PRNGKey(seed + i)
@@ -60,11 +71,23 @@ def run_file(
         t0 = time.perf_counter()
         r = dn.denoise(tm.model, tm.params, y_noisy, float(v),
                        y_clean=y_norm, engine="ep", ep_itts=ep_itts)
+        Zw = fb_mod.fft_filterbank(
+            wfit.sigma2, w_len, wfit.omega, y_noisy, kernel=kernel1,
+            noise=v + w_noise,
+        )
+        y_wiener = jnp.sum(jnp.real(Zw), axis=-1)
         rows.append({
             "noise_var": v,
             "snr_in_db": float(r.snr_in),
             "snr_out_db": float(r.snr_out),
             "snr_gain_db": float(r.snr_out - r.snr_in),
+            "snr_wiener_db": float(metrics.snr_db(y_norm, y_wiener)),
+            "log_spec_snr_out_db": float(
+                metrics.log_spec_snr_db(y_norm, r.y_hat)
+            ),
+            "log_spec_snr_wiener_db": float(
+                metrics.log_spec_snr_db(y_norm, y_wiener)
+            ),
             "seconds": round(time.perf_counter() - t0, 3),
         })
     return {"file": os.path.basename(path), "fs": fs, "D": D, "N": N,
@@ -81,9 +104,15 @@ def run(files=("speech0_female", "speech1_male"), **kwargs):
     agg = {}
     for f in out["files"]:
         for row in f["rows"]:
-            agg.setdefault(row["noise_var"], []).append(row["snr_out_db"])
+            agg.setdefault(row["noise_var"], []).append(
+                (row["snr_out_db"], row.get("snr_wiener_db", np.nan))
+            )
     out["aggregate"] = {
-        str(k): {"mean_snr_out_db": float(np.mean(v))} for k, v in agg.items()
+        str(k): {
+            "mean_snr_out_db": float(np.mean([a for a, _ in v])),
+            "mean_snr_wiener_db": float(np.mean([b for _, b in v])),
+        }
+        for k, v in agg.items()
     }
     return out
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def run_file(
     test_seconds=1.0,
     engines=("ep", "ihgp"),
     ep_itts=(1, 8),
+    ep_backend="xla",
     pretrain_kwargs=None,
 ):
     import jax
@@ -78,6 +80,12 @@ def run_file(
                 ek["grid_lo"] = -4.0
                 if itts > 1:
                     ek["damping"] = (0.0025,)
+            if eng == "giekf":
+                # ref missing_data_music.m:128-129 runs the EKF with
+                # g_iter = ep_itts global passes and 1 inner iteration
+                ek = {"g_iter": itts, "l_iter": 1}
+            if eng == "ep" and ep_backend != "xla":
+                ek["backend"] = ep_backend
             t0 = time.perf_counter()
             r = md.fill_gaps(tm.model, tm.params, y_test, mask, engine=eng,
                              n_samples=20, **ek)
@@ -92,14 +100,40 @@ def run_file(
             "kernel1": kernel1, "rows": rows}
 
 
-def run(files=("piano", "guitar", "flute"), corpus="music", **kwargs):
+# Per-corpus defaults (ADVICE r2: the music defaults crash on --corpus
+# speech; audio/speech holds speechK_{fe,}male.wav).
+DEFAULT_FILES = {
+    "music": ("piano", "guitar", "flute"),
+    "speech": ("speech0_female", "speech1_male", "speech2_male"),
+}
+
+
+def resolve_audio(corpus: str, name: str) -> str:
+    path = os.path.join(AUDIO_ROOT, corpus, f"{name}.wav")
+    if not os.path.exists(path):
+        have = sorted(
+            f[:-4] for f in os.listdir(os.path.join(AUDIO_ROOT, corpus))
+            if f.endswith(".wav")
+        )
+        raise FileNotFoundError(
+            f"no {name}.wav in audio/{corpus}/ — available: {', '.join(have)}"
+        )
+    return path
+
+
+def run(files=None, corpus="music", **kwargs):
     """corpus='music' is the paper driver (missing_data_music.m);
     corpus='speech' is the speech variant (test_missing_data.m)."""
+    if files is None:
+        files = DEFAULT_FILES[corpus]
     out = {"experiment": f"missing_data_{corpus}", "gap_lengths": GAP_LENGTHS,
            "files": []}
     for name in files:
-        path = os.path.join(AUDIO_ROOT, corpus, f"{name}.wav")
+        path = resolve_audio(corpus, name)
+        t0 = time.perf_counter()
         out["files"].append(run_file(path, **kwargs))
+        print(f"[missing_data] {name}: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     # aggregation (ref missing_data_music_results.m:26-37)
     agg = {}
     for f in out["files"]:
@@ -127,14 +161,20 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
-    ap.add_argument("--files", nargs="+", default=["piano", "guitar", "flute"])
+    ap.add_argument("--files", nargs="+", default=None)
     ap.add_argument("--corpus", default="music", choices=["music", "speech"])
+    ap.add_argument("--engines", nargs="+", default=["ep", "ihgp"],
+                    choices=["ep", "ihgp", "giekf"])
+    ap.add_argument("--itts", nargs="+", type=int, default=[1, 8])
+    ap.add_argument("--ep-backend", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
         args.out = f"results/missing_data_{args.corpus}.json"
     _setup_backend(args.device)
-    res = run(files=tuple(args.files), corpus=args.corpus)
+    files = tuple(args.files) if args.files else None
+    res = run(files=files, corpus=args.corpus, engines=tuple(args.engines),
+              ep_itts=tuple(args.itts), ep_backend=args.ep_backend)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

@@ -127,10 +127,14 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--instrument", default="011PFNOM")
     ap.add_argument("--engine", default="ihgp")
+    ap.add_argument("--D", type=int, default=8)
+    ap.add_argument("--N", type=int, default=2)
+    ap.add_argument("--itts", type=int, default=10)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     _setup_backend(args.device)
-    res = run(instrument=args.instrument, engine=args.engine)
+    res = run(instrument=args.instrument, engine=args.engine, D=args.D,
+              N=args.N, ep_itts=args.itts)
     out = args.out or f"results/source_sep_{args.instrument}.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:

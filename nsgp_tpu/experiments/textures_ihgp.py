@@ -66,17 +66,28 @@ def run_file(
     T = int(y_full.shape[0])
     y_test = jnp.asarray(y_full)
 
-    starts = np.linspace(0.05, 0.95, n_gaps) * T
+    # Gaps start past the pre-training head so SNR is scored only on data
+    # the filterbank/NMF pretraining never saw (ADVICE r2).
+    lo = min(0.95, (n_train + 1) / T + 0.02)
+    starts = np.linspace(lo, 0.95, n_gaps) * T
     lengths = [GAP_LENGTHS[i % len(GAP_LENGTHS)] for i in range(n_gaps)]
     mask = md.make_gap_mask(T, list(zip(starts.astype(int), lengths)))
 
-    t0 = time.perf_counter()
-    r = md.fill_gaps(
+    fill = lambda: md.fill_gaps(
         tm.model, tm.params, y_test, mask, engine="ihgp", n_samples=20,
         ep_itts=ep_itts, ep_fraction=0.75,
         damping=(0.1,) if ep_itts == 1 else (0.0025,), grid_lo=-4.0,
     )
-    elapsed = time.perf_counter() - t0
+    # First call pays JIT compilation; the second (same shapes) measures
+    # steady-state throughput — the number the capacity claim rests on.
+    t0 = time.perf_counter()
+    r = fill()
+    jax.block_until_ready(r.y_hat)
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = fill()
+    jax.block_until_ready(r.y_hat)
+    warm = time.perf_counter() - t0
     return {
         "file": os.path.basename(path),
         "fs": fs,
@@ -86,9 +97,10 @@ def run_file(
         "ep_itts": ep_itts,
         "rmse_gaps": float(r.rmse_gaps),
         "snr_gaps_db": float(r.snr_gaps),
-        "seconds_total": round(elapsed, 3),
-        "seconds_per_sweep": round(elapsed / ep_itts, 3),
-        "filtered_samples_per_s": round(T * ep_itts / elapsed),
+        "seconds_cold": round(cold, 3),
+        "seconds_warm": round(warm, 3),
+        "seconds_per_sweep": round(warm / ep_itts, 3),
+        "filtered_samples_per_s": round(T * ep_itts / warm),
         "nlZ_per_sweep": np.asarray(r.result.nlZ).tolist(),
     }
 
@@ -117,9 +129,9 @@ def main():
     ap.add_argument("--tile", type=int, default=2)
     ap.add_argument("--out", default="results/textures_ihgp.json")
     args = ap.parse_args()
-    if args.device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)
+    from nsgp_tpu.experiments.missing_data import _setup_backend
+
+    _setup_backend(args.device)
     res = run(files=tuple(args.files), tile=args.tile)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -159,28 +159,40 @@ def _steady_filterbank(A, Q, H, r, y, D: int, blk: int) -> FBResult:
 
 
 def exact_filterbank(
-    fb: Filterbank, y: jax.Array, mask: Optional[jax.Array] = None
+    fb: Filterbank,
+    y: jax.Array,
+    mask: Optional[jax.Array] = None,
+    noise_t: Optional[jax.Array] = None,
 ) -> FBResult:
-    """Exact dense Kalman/RTS filterbank (slow path; supports missing data).
+    """Exact dense Kalman/RTS filterbank (slow path; supports missing data
+    and per-step observation noise).
 
     Ref kernel_ss_kalmanSlowFB_rewrite.m:55-137 — per-step covariances, NaN
-    (mask False) -> pure prediction.
+    (mask False) -> pure prediction, and time-varying noise R_t (the
+    reference threads ``vary`` per step for denoise/gap masks).
+
+    ``noise_t``: optional (T,) per-step observation-noise variance;
+    defaults to the constant ``fb.noise``.
     """
     if mask is None:
         mask = ~jnp.isnan(y)
     y = jnp.nan_to_num(y)
-    A, Q, H, r = fb.A, fb.Q, fb.H, fb.noise
+    A, Q, H = fb.A, fb.Q, fb.H
     m = A.shape[0]
+    if noise_t is None:
+        noise_t = jnp.full(y.shape, fb.noise, A.dtype)
+    else:
+        noise_t = jnp.broadcast_to(jnp.asarray(noise_t, A.dtype), y.shape)
 
     def step(carry, inp):
         mx, P, first = carry
-        y_k, obs_k = inp
+        y_k, obs_k, r_k = inp
         mx, P = jax.lax.cond(
             first, lambda: (mx, P), lambda: (A @ mx, A @ P @ A.T + Q)
         )
         P = 0.5 * (P + P.T)
         PH = P @ H
-        S = H @ PH + r
+        S = H @ PH + r_k
         Kg = PH / S
         v = y_k - H @ mx
         lml_k = jnp.where(
@@ -192,7 +204,7 @@ def exact_filterbank(
 
     m0 = jnp.zeros((m,), A.dtype)
     (_, _, _), (ms, Ps, lml) = jax.lax.scan(
-        step, (m0, fb.Pinf, jnp.asarray(True)), (y, mask)
+        step, (m0, fb.Pinf, jnp.asarray(True)), (y, mask, noise_t)
     )
 
     eye = jnp.eye(m, dtype=A.dtype)

@@ -69,6 +69,35 @@ def test_steady_vs_exact_filterbank():
     )
 
 
+def test_exact_filterbank_time_varying_noise():
+    """Per-step R_t (ref kernel_ss_kalmanSlowFB_rewrite.m:55-137): constant
+    noise_t reproduces the default path; inflating R_t over a noisy burst
+    suppresses it relative to the constant-noise fit."""
+    T = 768
+    rng = np.random.default_rng(5)
+    y_clean = np.sin(0.8 * np.arange(T)) * np.exp(
+        -0.5 * ((np.arange(T) - T / 2) / 200.0) ** 2
+    )
+    burst = slice(300, 360)
+    y = y_clean.copy()
+    y[burst] += 3.0 * rng.normal(size=60)
+    y = jnp.asarray(y)
+    fb = fb_mod.build_filterbank(
+        sigma2=jnp.asarray([1.0]), ell=jnp.asarray([30.0]),
+        omega=jnp.asarray([0.8]), kernel="exp", noise=0.1,
+    )
+    base = fb_mod.exact_filterbank(fb, y)
+    same = fb_mod.exact_filterbank(fb, y, noise_t=jnp.full((T,), 0.1))
+    np.testing.assert_allclose(np.asarray(base.Z), np.asarray(same.Z))
+    noise_t = jnp.full((T,), 0.1).at[burst].set(50.0)
+    tv = fb_mod.exact_filterbank(fb, y, noise_t=noise_t)
+    rec_base = np.sum(np.real(np.asarray(base.Z)), axis=-1)
+    rec_tv = np.sum(np.real(np.asarray(tv.Z)), axis=-1)
+    err_base = np.sqrt(np.mean((rec_base[burst] - y_clean[burst]) ** 2))
+    err_tv = np.sqrt(np.mean((rec_tv[burst] - y_clean[burst]) ** 2))
+    assert err_tv < 0.5 * err_base, (err_tv, err_base)
+
+
 def test_gppad_recovers_slow_envelope():
     T = 4096
     t = np.arange(T)
