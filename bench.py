@@ -31,10 +31,14 @@ RESULT = {
     "value": None,
     "unit": "s/sweep",
     "vs_baseline": 0.0,
+    "vs_reference_cpu": 0.0,  # speedup over the measured reference-equivalent
+    # CPU wall-clock (BASELINE.md round-3 calibration via the line-faithful
+    # numpy oracle: ~2,685 s/sweep extrapolated to T=100k, single core)
     "ihgp_s_per_sweep": None,  # secondary metric: IHGP at the same scale
     "ihgp_path": None,
 }
 BASELINE_S = 10.0  # seconds/sweep target on one chip (BASELINE.md)
+REFERENCE_CPU_S = 2685.0  # measured oracle calibration (BASELINE.md)
 
 
 def emit_and_exit(signum=None, frame=None):
@@ -140,6 +144,7 @@ def main():
             if RESULT["value"] is None or per_sweep < RESULT["value"]:
                 RESULT["value"] = round(per_sweep, 4)
                 RESULT["vs_baseline"] = round(BASELINE_S / per_sweep, 2)
+                RESULT["vs_reference_cpu"] = round(REFERENCE_CPU_S / per_sweep)
         except Exception as e:  # pallas may not compile on every backend
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
 

@@ -25,6 +25,7 @@ from nsgp_tpu.pretrain import filterbank as fb_mod
 from nsgp_tpu.pretrain import pipeline, spectral
 from nsgp_tpu.utils import metrics
 from nsgp_tpu.utils.audio import read_wav
+from nsgp_tpu.utils.stoi import stoi
 
 NOISE_LEVELS = (0.01, 0.05, 0.1, 0.3, 0.5)  # ref noise_reduction_speech.m:34
 
@@ -87,6 +88,13 @@ def run_file(
             ),
             "log_spec_snr_wiener_db": float(
                 metrics.log_spec_snr_db(y_norm, y_wiener)
+            ),
+            # STOI as the PESQ substitute (ref ships pesq.p as an
+            # obfuscated binary; see utils/stoi.py)
+            "stoi_in": round(stoi(np.asarray(y_norm), np.asarray(y_noisy), fs), 4),
+            "stoi_out": round(stoi(np.asarray(y_norm), np.asarray(r.y_hat), fs), 4),
+            "stoi_wiener": round(
+                stoi(np.asarray(y_norm), np.asarray(y_wiener), fs), 4
             ),
             "seconds": round(time.perf_counter() - t0, 3),
         })

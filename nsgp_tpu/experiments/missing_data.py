@@ -167,6 +167,10 @@ def main():
                     choices=["ep", "ihgp", "giekf"])
     ap.add_argument("--itts", nargs="+", type=int, default=[1, 8])
     ap.add_argument("--ep-backend", default="xla", choices=["xla", "pallas"])
+    # keep segment lengths uniform across files: each distinct test length is
+    # a fresh shape -> full recompile of every engine config on the TPU
+    ap.add_argument("--train-seconds", type=float, default=1.0)
+    ap.add_argument("--test-seconds", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
@@ -174,7 +178,9 @@ def main():
     _setup_backend(args.device)
     files = tuple(args.files) if args.files else None
     res = run(files=files, corpus=args.corpus, engines=tuple(args.engines),
-              ep_itts=tuple(args.itts), ep_backend=args.ep_backend)
+              ep_itts=tuple(args.itts), ep_backend=args.ep_backend,
+              train_seconds=args.train_seconds,
+              test_seconds=args.test_seconds)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
