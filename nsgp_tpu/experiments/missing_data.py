@@ -43,6 +43,7 @@ def run_file(
     engines=("ep", "ihgp"),
     ep_itts=(1, 8),
     ep_backend="xla",
+    ihgp_parallel=False,
     pretrain_kwargs=None,
 ):
     import jax
@@ -80,6 +81,11 @@ def run_file(
                 ek["grid_lo"] = -4.0
                 if itts > 1:
                     ek["damping"] = (0.0025,)
+                if ihgp_parallel:
+                    # blocked two-level steady scans (the long-signal fast
+                    # path benched in bench.py)
+                    ek["parallel"] = True
+                    ek["chunk"] = 2048
             if eng == "giekf":
                 # ref missing_data_music.m:128-129 runs the EKF with
                 # g_iter = ep_itts global passes and 1 inner iteration
@@ -134,15 +140,18 @@ def run(files=None, corpus="music", **kwargs):
         out["files"].append(run_file(path, **kwargs))
         print(f"[missing_data] {name}: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
-    # aggregation (ref missing_data_music_results.m:26-37)
+    # aggregation (ref missing_data_music_results.m:26-37); non-finite rows
+    # (f32 divergence) are excluded and counted so they can't silently
+    # poison the mean
     agg = {}
     for f in out["files"]:
         for row in f["rows"]:
             key = f"{row['engine']}_itts{row['ep_itts']}"
             agg.setdefault(key, []).append((row["snr_gaps_db"], row["rmse_gaps"]))
     out["aggregate"] = {
-        k: {"mean_snr_gaps_db": float(np.mean([a for a, _ in v])),
-            "mean_rmse_gaps": float(np.mean([b for _, b in v]))}
+        k: {"mean_snr_gaps_db": float(np.nanmean([a for a, _ in v])),
+            "mean_rmse_gaps": float(np.nanmean([b for _, b in v])),
+            "n_nonfinite": int(sum(not np.isfinite(a) for a, _ in v))}
         for k, v in agg.items()
     }
     return out
@@ -171,6 +180,11 @@ def main():
     # a fresh shape -> full recompile of every engine config on the TPU
     ap.add_argument("--train-seconds", type=float, default=1.0)
     ap.add_argument("--test-seconds", type=float, default=1.0)
+    ap.add_argument("--D", type=int, default=12)
+    ap.add_argument("--N", type=int, default=3)
+    ap.add_argument("--ihgp-parallel", action="store_true")
+    ap.add_argument("--pretrain-levels", type=int, default=2)
+    ap.add_argument("--pretrain-steps", type=int, default=200)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
@@ -180,7 +194,10 @@ def main():
     res = run(files=files, corpus=args.corpus, engines=tuple(args.engines),
               ep_itts=tuple(args.itts), ep_backend=args.ep_backend,
               train_seconds=args.train_seconds,
-              test_seconds=args.test_seconds)
+              test_seconds=args.test_seconds, D=args.D, N=args.N,
+              ihgp_parallel=args.ihgp_parallel,
+              pretrain_kwargs=dict(num_levels=args.pretrain_levels,
+                                   steps_per_level=args.pretrain_steps))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
