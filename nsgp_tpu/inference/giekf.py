@@ -120,6 +120,7 @@ def _filter(model, W, sn2, A, Q, Hd, y, mask, m0, P0, cfg, l_iter):
     innovation NLL at the predicted mean (gf_giekf_modulator_nmf.m:424,
     where the energy path does a single linearization).
     """
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
 
     def step(carry, inp):
         mx, P, first = carry
@@ -141,19 +142,24 @@ def _filter(model, W, sn2, A, Q, Hd, y, mask, m0, P0, cfg, l_iter):
         nll_k = 0.5 * (jnp.log(2.0 * jnp.pi * S0) + (y_k - yhat0) ** 2 / S0)
 
         def iekf_body(i, state):
-            M, _, _ = state
+            M, _, _, _ = state
             f = Hd @ M
             yhat, dh = _measurement(model, W, f)
             J = dh @ Hd  # (m,)
             PJ = P @ J
             S = J @ PJ + sn2
             K = PJ / S
-            return M + K * (y_k - yhat), K, S
+            return M + K * (y_k - yhat), K, S, J
 
-        M, K, S = jax.lax.fori_loop(
-            0, l_iter, iekf_body, (mx, PJ0 / S0, S0)
+        M, K, S, J = jax.lax.fori_loop(
+            0, l_iter, iekf_body, (mx, PJ0 / S0, S0, J0)
         )
-        P_upd = P - S * jnp.outer(K, K)  # P - K S K' (iekf_update1.m:117)
+        # Joseph-form covariance update: algebraically equal to the
+        # reference's P - K S K' (iekf_update1.m:117) at the optimal gain,
+        # but PSD-preserving in f32 (P - KSK' loses definiteness over many
+        # global passes on hard signals and NaNs the filter).
+        ImKJ = eye - jnp.outer(K, J)
+        P_upd = ImKJ @ P @ ImKJ.T + sn2 * jnp.outer(K, K)
         P_upd = 0.5 * (P_upd + P_upd.T)
 
         mx = jnp.where(obs_k, M, mx)
