@@ -130,6 +130,8 @@ def _reassign_dead(
     lam = np.exp(p[D : 2 * D])
     omega0 = np.pi / (1.0 + np.exp(-p[2 * D : 3 * D]))
     floor = thresh_frac * var_y / D
+    fresh_lam = 0.05
+    placed: list = []  # centers assigned THIS pass
 
     def reassign(d):
         keep = np.arange(D) != d
@@ -145,9 +147,19 @@ def _reassign_dead(
         dspec = np.log(np.maximum(target, 1e-20)) - np.log(
             np.maximum(S_others, 1e-20)
         )
+        # Spacing guard: a freshly placed component is broad (lam 0.05), so
+        # a sharp under-fit peak can stay the argmax even after placement —
+        # without this every reassigned component of the pass piles onto
+        # the SAME frequency and the pass manufactures its own duplicates
+        # (observed on speech0_female: 6 components at one harmonic).
+        for pc in placed:
+            dspec[np.abs(w - pc) < fresh_lam] = -np.inf
+        if not np.isfinite(dspec).any():
+            dspec = np.log(np.maximum(target, 1e-20))
         omega0[d] = float(w[int(np.argmax(dspec))])
         sigma2[d] = var_y / 20.0
-        lam[d] = 0.05
+        lam[d] = fresh_lam
+        placed.append(omega0[d])
 
     moved = 0
     for d in range(D):
