@@ -77,6 +77,7 @@ def run_file(
         tm.model, tm.params, y_test, mask, engine="ihgp", n_samples=20,
         ep_itts=ep_itts, ep_fraction=0.75,
         damping=(0.1,) if ep_itts == 1 else (0.0025,), grid_lo=-4.0,
+        parallel=True, chunk=2048,  # blocked two-level steady fast path
     )
     # First call pays JIT compilation; the second (same shapes) measures
     # steady-state throughput — the number the capacity claim rests on.
