@@ -81,13 +81,17 @@ def run_file(
     )
     # First call pays JIT compilation; the second (same shapes) measures
     # steady-state throughput — the number the capacity claim rests on.
+    # NOTE: on the axon backend block_until_ready can return before the
+    # dispatch finishes; a device->host scalar fetch is the only reliable
+    # synchronization point (same workaround as bench.py).
+    sync = lambda res: float(np.asarray(res.rmse_gaps))
     t0 = time.perf_counter()
     r = fill()
-    jax.block_until_ready(r.y_hat)
+    sync(r)
     cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = fill()
-    jax.block_until_ready(r.y_hat)
+    sync(r)
     warm = time.perf_counter() - t0
     return {
         "file": os.path.basename(path),
