@@ -49,7 +49,11 @@ class IHGPConfig(NamedTuple):
     ep_itts: int = 3
     damping: tuple = ()
     moment_chunk: int = 8192
-    grid_lo: float = -2.0  # log10 of smallest effective noise (ref :112)
+    grid_lo: float = -2.0  # log10 of smallest effective noise (ref :112).
+    # IMPORTANT: the grid must span the REALIZED effective noise
+    # R = lik / ttau — for small lik and strong sites that is several
+    # decades below lik (drivers use -4 to -7); a clamped lookup silently
+    # substitutes the wrong steady covariance.
     grid_hi: float = 4.0
     grid_coarse: int = 32
     grid_fine: int = 200
