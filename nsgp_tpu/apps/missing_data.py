@@ -77,11 +77,15 @@ def fill_gaps(
     engine: str = "ep",
     key: jax.Array | None = None,
     n_samples: int = 20,
+    metric_gaps: jax.Array | None = None,  # True = score here; default ~mask
     **engine_kwargs,
 ) -> GapFillResult:
     """Run inference with masked observations and score the reconstruction.
 
     Ref missing_data_music.m:119-175 (engines x ep_itts sweeps).
+    ``metric_gaps`` separates the scored region from the observation mask —
+    needed when the signal is zero-padded to a uniform compile shape (the
+    padding is unobserved but must not count as a gap).
     """
     from nsgp_tpu.inference import registry
 
@@ -91,7 +95,7 @@ def fill_gaps(
     if key is None:
         key = jax.random.PRNGKey(0)
     y_hat = reconstruct_signal(model, params, res.Eft, res.Varft, key, n_samples)
-    gap = ~mask
+    gap = ~mask if metric_gaps is None else metric_gaps
     return GapFillResult(
         y_hat=y_hat,
         rmse_gaps=metrics.rmse(y_true, y_hat, gap),

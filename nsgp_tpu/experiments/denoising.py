@@ -1,11 +1,18 @@
-"""Speech denoising noise-level sweep (ref noise_reduction_speech.m).
+"""Speech denoising noise-level sweep under the reference protocol
+(ref noise_reduction_speech.m).
 
-Per speech file: pre-train on clean speech, add white noise at the
-reference's 5 variances (noise_levels = [0.01 0.05 0.1 0.3 0.5], :34),
-set the model's likelihood noise to the true level (:63), run EP, and
-report SNR in/out per level.
+Protocol: the clean signal is the whole 16 kHz unit-variance trained signal
+(y_norm); white noise at the reference's 5 variances is added
+(yTest = y_norm + sqrt(v) randn, :63); w_lik is set to the true level v
+(:80); EP runs 30 sweeps at fraction 0.75, damping 0.1 (:21,:28-29);
+reconstruction is 200 MC samples through the sqrt-link (:139-144).
 
-CLI: python -m nsgp_tpu.experiments.denoising [--files speech0_female]
+Baselines/metrics beyond the reference's SNR+RMSE: an FFT Wiener filter
+built from the SAME stage-1 stationary spectral fit the trained model used
+(the no-modulator counterpart), log-spectral SNR, and STOI (the PESQ
+substitute — the reference ships pesq.p as an obfuscated binary).
+
+CLI: python -m nsgp_tpu.experiments.denoising [--files speech0_female ...]
 Writes results/noise_reduction_speech.json.
 """
 
@@ -13,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -20,62 +28,58 @@ import jax.numpy as jnp
 import numpy as np
 
 from nsgp_tpu.apps import denoise as dn
-from nsgp_tpu.experiments import AUDIO_ROOT
+from nsgp_tpu.experiments import protocol, train_corpus
 from nsgp_tpu.pretrain import filterbank as fb_mod
-from nsgp_tpu.pretrain import pipeline, spectral
 from nsgp_tpu.utils import metrics
-from nsgp_tpu.utils.audio import read_wav
 from nsgp_tpu.utils.stoi import stoi
-
-NOISE_LEVELS = (0.01, 0.05, 0.1, 0.3, 0.5)  # ref noise_reduction_speech.m:34
 
 
 def run_file(
-    path: str,
-    D=12,
-    N=3,
-    kernel1="exp",
-    seconds=1.0,
-    ep_itts=30,  # ref noise_reduction_speech.m:21
-    noise_levels=NOISE_LEVELS,
-    seed=0,
-    pretrain_kwargs=None,
+    corpus: str,
+    name: str,
+    kernel1: str = "exp",
+    ep_itts: int = 30,  # ref noise_reduction_speech.m:21
+    engine: str = "ep",
+    noise_levels=protocol.NOISE_LEVELS,
+    seed: int = 0,
+    pad_T: int | None = None,
+    n_samples: int = 200,  # ref :113 (s = 200)
 ):
-    y_raw, fs = read_wav(path)
-    y_raw = y_raw / (np.std(y_raw) + 1e-12)
-    n = int(seconds * fs)
-    y_clean = jnp.asarray(y_raw[:n])
+    tm, y_norm = train_corpus.load_corpus_model(corpus, name, kernel1)
+    T = len(y_norm)
+    Tp = pad_T or T
+    fs = int(tm.fs)
+    y_clean = jnp.asarray(y_norm)
 
-    kw = dict(num_levels=2, steps_per_level=200)
-    kw.update(pretrain_kwargs or {})
-    tm = pipeline.train_gtnmf_fixed_params(
-        y_clean, D=D, N=N, kernel1=kernel1, fs=float(fs),
-        filterbank_kwargs=kw,
-    )
-    y_norm = y_clean / jnp.std(y_clean)
-
-    # Wiener baseline (ref noise_reduction_results.m:23-63 compares against a
-    # Wiener-filter baseline): a STATIONARY spectral-mixture fit to the clean
-    # training signal, applied as an FFT Wiener filter with the observation
-    # noise set to the true added variance — the classical no-modulator
-    # counterpart of the GT-NMF model.
-    wfit = spectral.fit_probstft_staged(y_norm, D, kernel=kernel1, **kw)
+    # Wiener baseline from the trained artifact's own stationary fit
+    # (no refit — ADVICE r3); the no-modulator counterpart of GT-NMF.
+    wfit = tm.fit
     w_len = wfit.lengthscales(kernel1)
     w_noise = float(jnp.maximum(wfit.noise, 1e-6))
 
     rows = []
     for i, v in enumerate(noise_levels):
         key = jax.random.PRNGKey(seed + i)
-        y_noisy = y_norm + jnp.sqrt(v) * jax.random.normal(
-            key, y_norm.shape, y_norm.dtype
+        y_noisy = y_clean + jnp.sqrt(v) * jax.random.normal(
+            key, y_clean.shape, y_clean.dtype
         )
-        t0 = time.perf_counter()
-        # Reference EP regime (noise_reduction_speech.m:28-29): fraction
-        # 0.75, damping 0.1.  The engine-default (0.5, 0.5) oscillates at
-        # low noise (measured: 8.9 dB vs 26.3 dB at v=0.01).
-        r = dn.denoise(tm.model, tm.params, y_noisy, float(v),
-                       y_clean=y_norm, engine="ep", ep_itts=ep_itts,
-                       ep_fraction=0.75, damping=(0.1,))
+        ypad = jnp.full((Tp,), jnp.nan, y_noisy.dtype).at[:T].set(y_noisy)
+        ek = {"ep_itts": ep_itts, "ep_fraction": 0.75, "damping": (0.1,)}
+        if engine == "ihgp":
+            ek["grid_lo"] = -7.0
+            if ep_itts >= 20:
+                ek["damping"] = (0.01,)  # ref noise_reduction_speech.m:30-32
+        if engine == "giekf":
+            ek = {"g_iter": ep_itts, "l_iter": 1}
+        times = []
+        for _ in range(2):  # cold / warm
+            t0 = time.perf_counter()
+            r = dn.denoise(tm.model, tm.params, ypad, float(v),
+                           y_clean=None, engine=engine, n_samples=n_samples,
+                           **ek)
+            jax.block_until_ready(r.y_hat)
+            times.append(time.perf_counter() - t0)
+        y_hat = r.y_hat[:T]
         Zw = fb_mod.fft_filterbank(
             wfit.sigma2, w_len, wfit.omega, y_noisy, kernel=kernel1,
             noise=v + w_noise,
@@ -83,48 +87,68 @@ def run_file(
         y_wiener = jnp.sum(jnp.real(Zw), axis=-1)
         rows.append({
             "noise_var": v,
-            "snr_in_db": float(r.snr_in),
-            "snr_out_db": float(r.snr_out),
-            "snr_gain_db": float(r.snr_out - r.snr_in),
-            "snr_wiener_db": float(metrics.snr_db(y_norm, y_wiener)),
+            "snr_in_db": float(metrics.snr_db(y_clean, y_noisy)),
+            "snr_out_db": float(metrics.snr_db(y_clean, y_hat)),
+            "snr_wiener_db": float(metrics.snr_db(y_clean, y_wiener)),
+            "rmse": float(metrics.rmse(y_clean, y_hat)),
             "log_spec_snr_out_db": float(
-                metrics.log_spec_snr_db(y_norm, r.y_hat)
+                metrics.log_spec_snr_db(y_clean, y_hat)
             ),
             "log_spec_snr_wiener_db": float(
-                metrics.log_spec_snr_db(y_norm, y_wiener)
+                metrics.log_spec_snr_db(y_clean, y_wiener)
             ),
-            # STOI as the PESQ substitute (ref ships pesq.p as an
-            # obfuscated binary; see utils/stoi.py)
-            "stoi_in": round(stoi(np.asarray(y_norm), np.asarray(y_noisy), fs), 4),
-            "stoi_out": round(stoi(np.asarray(y_norm), np.asarray(r.y_hat), fs), 4),
+            "stoi_in": round(stoi(np.asarray(y_clean), np.asarray(y_noisy), fs), 4),
+            "stoi_out": round(stoi(np.asarray(y_clean), np.asarray(y_hat), fs), 4),
             "stoi_wiener": round(
-                stoi(np.asarray(y_norm), np.asarray(y_wiener), fs), 4
+                stoi(np.asarray(y_clean), np.asarray(y_wiener), fs), 4
             ),
-            "seconds": round(time.perf_counter() - t0, 3),
+            "seconds_cold": round(times[0], 3),
+            "seconds_warm": round(times[1], 3),
         })
-    return {"file": os.path.basename(path), "fs": fs, "D": D, "N": N,
-            "ep_itts": ep_itts, "rows": rows}
+        print({"file": name, "kernel": kernel1, **rows[-1]},
+              file=sys.stderr, flush=True)
+    return {"file": name, "T": T, "pad_T": Tp, "fs": fs,
+            "D": tm.model.D, "N": tm.model.N, "kernel1": kernel1,
+            "engine": engine, "ep_itts": ep_itts, "rows": rows}
 
 
-def run(files=("speech0_female", "speech1_male"), **kwargs):
+def run(files=("speech0_female", "speech1_male"), corpus="speech",
+        kernels=("exp",), engine="ep", ep_itts=30, n_samples=200):
+    pad_T = None
+    if len(files) > 1:
+        from nsgp_tpu.experiments.missing_data import _pad_len
+
+        pad_T = _pad_len(corpus, files)
     out = {"experiment": "noise_reduction_speech",
-           "noise_levels": NOISE_LEVELS, "files": []}
+           "protocol": "reference (whole y_norm @16kHz, w_lik = true v)",
+           "noise_levels": protocol.NOISE_LEVELS, "files": []}
     for name in files:
-        path = os.path.join(AUDIO_ROOT, "speech", f"{name}.wav")
-        out["files"].append(run_file(path, **kwargs))
+        for kernel in kernels:
+            out["files"].append(run_file(
+                corpus, name, kernel1=kernel, ep_itts=ep_itts,
+                engine=engine, pad_T=pad_T, n_samples=n_samples,
+            ))
     # per-level aggregate over files (ref noise_reduction_results.m:23-63)
     agg = {}
     for f in out["files"]:
         for row in f["rows"]:
-            agg.setdefault(row["noise_var"], []).append(
-                (row["snr_out_db"], row.get("snr_wiener_db", np.nan))
-            )
+            agg.setdefault((f["kernel1"], row["noise_var"]), []).append(row)
     out["aggregate"] = {
-        str(k): {
-            "mean_snr_out_db": float(np.mean([a for a, _ in v])),
-            "mean_snr_wiener_db": float(np.mean([b for _, b in v])),
+        f"{k}_{v}": {
+            "mean_snr_out_db": float(np.mean([r["snr_out_db"] for r in rows])),
+            "mean_snr_wiener_db": float(
+                np.mean([r["snr_wiener_db"] for r in rows])
+            ),
+            "mean_log_spec_snr_out_db": float(
+                np.mean([r["log_spec_snr_out_db"] for r in rows])
+            ),
+            "mean_log_spec_snr_wiener_db": float(
+                np.mean([r["log_spec_snr_wiener_db"] for r in rows])
+            ),
+            "mean_stoi_out": float(np.mean([r["stoi_out"] for r in rows])),
+            "mean_stoi_in": float(np.mean([r["stoi_in"] for r in rows])),
         }
-        for k, v in agg.items()
+        for (k, v), rows in agg.items()
     }
     return out
 
@@ -141,13 +165,21 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--files", nargs="+",
                     default=["speech0_female", "speech1_male"])
+    ap.add_argument("--kernels", nargs="+", default=["exp"],
+                    choices=["exp", "matern32"])
+    ap.add_argument("--engine", default="ep",
+                    choices=["ep", "ihgp", "giekf"])
+    ap.add_argument("--itts", type=int, default=30)
+    ap.add_argument("--n-samples", type=int, default=200)
     ap.add_argument("--out", default="results/noise_reduction_speech.json")
     args = ap.parse_args()
     _setup_backend(args.device)
-    res = run(files=tuple(args.files))
+    res = run(files=tuple(args.files), kernels=tuple(args.kernels),
+              engine=args.engine, ep_itts=args.itts,
+              n_samples=args.n_samples)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

@@ -39,6 +39,12 @@ class TrainedModel(NamedTuple):
     params: GTNMFParams
     envelopes: jax.Array  # (T, D) GPPAD envelopes (diagnostic)
     H: jax.Array  # (T, N) NMF components (diagnostic)
+    # Stationary spectral fit from stage 1 (needed by the denoising Wiener
+    # baseline — reuse instead of refitting; ADVICE r3).  None on artifacts
+    # saved before this field existed.
+    fit: object = None
+    normaliser: float = 1.0  # ref train_GTFNMF_fixed_params.m:14
+    fs: float = 16000.0
 
 
 def _inv_softplus(x):
@@ -135,7 +141,8 @@ def train_gtnmf_fixed_params(
         mod_len=mod_len,
         W=W,
     )
-    return TrainedModel(model=model, params=params, envelopes=env, H=H)
+    return TrainedModel(model=model, params=params, envelopes=env, H=H,
+                        fit=fit, fs=float(fs))
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +151,15 @@ def train_gtnmf_fixed_params(
 
 
 def save_trained(path: str, tm: TrainedModel) -> None:
+    extra = {}
+    if tm.fit is not None:
+        # stage-1 stationary fit, reused by the Wiener denoising baseline
+        extra = dict(
+            fb_sigma2=np.asarray(tm.fit.sigma2),
+            fb_lam=np.asarray(tm.fit.lam),
+            fb_omega=np.asarray(tm.fit.omega),
+            fb_noise=np.asarray(tm.fit.noise),
+        )
     np.savez(
         path,
         D=tm.model.D, N=tm.model.N,
@@ -156,10 +172,16 @@ def save_trained(path: str, tm: TrainedModel) -> None:
         mod_var=np.asarray(tm.params.mod_var),
         mod_len=np.asarray(tm.params.mod_len),
         W=np.asarray(tm.params.W),
+        normaliser=float(tm.normaliser),
+        fs=float(tm.fs),
+        **extra,
     )
 
 
-def load_trained(path: str):
+def load_trained(path: str, full: bool = False):
+    """Load a trained artifact.  With ``full=True`` returns a TrainedModel
+    (fit/normaliser/fs populated when present); default returns the legacy
+    (model, params) pair."""
     z = np.load(path, allow_pickle=True)
     model = GTNMFModel(
         D=int(z["D"]), N=int(z["N"]),
@@ -172,4 +194,17 @@ def load_trained(path: str):
         mod_var=jnp.asarray(z["mod_var"]), mod_len=jnp.asarray(z["mod_len"]),
         W=jnp.asarray(z["W"]),
     )
-    return model, params
+    if not full:
+        return model, params
+    fit = None
+    if "fb_sigma2" in z:
+        fit = spectral.FilterbankFit(
+            sigma2=jnp.asarray(z["fb_sigma2"]), lam=jnp.asarray(z["fb_lam"]),
+            omega=jnp.asarray(z["fb_omega"]), noise=jnp.asarray(z["fb_noise"]),
+            obj=jnp.zeros(()),
+        )
+    return TrainedModel(
+        model=model, params=params, envelopes=None, H=None, fit=fit,
+        normaliser=float(z["normaliser"]) if "normaliser" in z else 1.0,
+        fs=float(z["fs"]) if "fs" in z else 16000.0,
+    )

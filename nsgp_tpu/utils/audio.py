@@ -41,6 +41,39 @@ def read_wav(path: str):
     return y, fs
 
 
+def resample(y, fs_to: int, fs_from: int):
+    """Rational polyphase resampling (MATLAB ``resample(y, p, q)``).
+
+    The reference downsamples every corpus file 44.1 kHz -> 16 kHz before
+    any processing (train_GTFNMF_fixed_params.m:12 ``resample(y_,fs_,fs)``).
+    scipy's resample_poly uses the same polyphase/Kaiser anti-alias design
+    as MATLAB's resample.
+    """
+    if fs_to == fs_from:
+        return np.asarray(y, np.float64)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(fs_to), int(fs_from))
+    return resample_poly(np.asarray(y, np.float64), fs_to // g, fs_from // g)
+
+
+def load_normalized(path: str, fs_target: int = 16000):
+    """Reference pre-processing: read, resample to fs_target, normalize the
+    WHOLE signal to unit variance (train_GTFNMF_fixed_params.m:11-15).
+
+    Returns (y_norm float64, normaliser, fs_target).  Every experiment
+    driver consumes this — the trained ``y_norm`` and the test signal are
+    the same array in the reference protocol (missing_data_music.m:86
+    ``yTest = y_norm``).
+    """
+    y, fs = read_wav(path)
+    y = resample(y, fs_target, fs)
+    normaliser = float(np.sqrt(np.var(y)))
+    return y / (normaliser + 1e-300), normaliser, fs_target
+
+
 def write_wav(path: str, y, fs: int) -> None:
     y = np.asarray(y, np.float64)
     y = np.clip(y, -1.0, 1.0)

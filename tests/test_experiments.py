@@ -28,20 +28,46 @@ def test_synthetic_driver_structure_and_sanity():
     assert 1 / 10.0 < ratio < 10.0, ratio
 
 
-def test_missing_data_driver_on_real_music():
-    from nsgp_tpu.experiments import missing_data
+def test_missing_data_driver_reference_protocol(tmp_path, monkeypatch):
+    """End-to-end reference protocol on a synthetic 'piano' wav: resample
+    path, whole-signal pretrain artifact, reference gap table, padded-shape
+    inference, cold/warm timing split."""
+    import nsgp_tpu.experiments as exps
+    from nsgp_tpu.experiments import missing_data, protocol, train_corpus
+    from nsgp_tpu.utils.audio import write_wav
 
-    path = os.path.join("/root/reference/audio/music", "piano.wav")
-    if not os.path.exists(path):
-        pytest.skip("reference audio not available")
-    res = missing_data.run_file(
-        path, D=6, N=2, train_seconds=0.4, test_seconds=0.4,
-        engines=("ep",), ep_itts=(2,),
-        pretrain_kwargs=dict(num_levels=2, steps_per_level=100),
+    root = tmp_path / "audio"
+    (root / "music").mkdir(parents=True)
+    fs = 16000
+    t = np.arange(int(0.8 * fs)) / fs
+    y = (np.sin(2 * np.pi * 440 * t) * (1.0 + 0.5 * np.sin(2 * np.pi * 2 * t))
+         + 0.05 * np.random.default_rng(0).standard_normal(t.shape))
+    write_wav(str(root / "music" / "piano.wav"), 0.5 * y / np.abs(y).max(), fs)
+    monkeypatch.setattr(exps, "AUDIO_ROOT", str(root))
+    monkeypatch.setattr(train_corpus, "AUDIO_ROOT", str(root))
+
+    out_dir = str(tmp_path / "trained")
+    train_corpus.run(
+        corpus="music", kernels=("exp",), D=4, N=2, out_dir=out_dir,
+        files=("piano",),
+        pretrain_kwargs=dict(num_levels=2, steps_per_level=80),
     )
+    real_load = train_corpus.load_corpus_model
+    monkeypatch.setattr(
+        train_corpus, "load_corpus_model",
+        lambda corpus, name, kernel: real_load(corpus, name, kernel, out_dir),
+    )
+    res = missing_data.run_file(
+        "music", "piano", kernel1="exp", engines=("ep",), ep_itts=(2,),
+        pad_T=13312, n_samples=20,
+    )
+    # T(16 kHz) of the synthetic file, and only in-range gaps scored
+    assert res["T"] == int(0.8 * fs)
+    assert res["w_lik"] == protocol.W_LIK_MISSING
     row = res["rows"][0]
     assert np.isfinite(row["rmse_gaps"])
     assert np.isfinite(row["snr_gaps_db"])
+    assert row["seconds_warm"] <= row["seconds_cold"]
 
 
 def test_textures_ihgp_driver_on_real_texture():
