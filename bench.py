@@ -36,7 +36,35 @@ RESULT = {
     # numpy oracle: ~2,685 s/sweep extrapolated to T=100k, single core)
     "ihgp_s_per_sweep": None,  # secondary metric: IHGP at the same scale
     "ihgp_path": None,
+    # Roofline context (VERDICT r3 item 8): sustained arithmetic rate of the
+    # winning EP path and its fraction of one v5e chip's bf16 MXU peak.
+    # The workload is O(T) chains of (bs x bs) block ops with bs <= 4 —
+    # structurally latency/dispatch-bound, not FLOP-bound: the state-space
+    # model's sequential dependency and tiny blocks cannot tile the 128x128
+    # systolic array, so MFU << 1% is the *shape* of this computation, and
+    # s/sweep (latency), not FLOP/s, is the merit figure.
+    "gflops": None,
+    "mfu_pct": None,
 }
+V5E_PEAK_FLOPS = 197e12  # bf16 peak, one TPU v5e chip (public spec)
+
+
+def ep_sweep_flops(T: int, D: int, N: int, bs: int, n_cub: int) -> float:
+    """Flop model for ONE EP sweep (filter + RTS smoother + moment match).
+
+    Per step and channel (C = D + N blocks of size bs):
+      predict     A P A' + Q         : 2 bs^3 MACs
+      update      K, P - K (HP)      : ~2 bs^2 MACs
+      smoother    G = Pf A' Pp^-1;
+                  Pf + G (.) G'      : ~3 bs^3 MACs
+    Moment match per step: the 'sq'/amp cubature sums over n_cub sigma
+    points x (N + D) accumulations (~2 MACs each).
+    1 MAC = 2 flops.
+    """
+    C = D + N
+    block = (2 * bs**3 + 2 * bs**2 + 3 * bs**3) * C
+    cub = 2 * n_cub * (N + D)
+    return 2.0 * T * (block + cub)
 BASELINE_S = 10.0  # seconds/sweep target on one chip (BASELINE.md)
 REFERENCE_CPU_S = 2685.0  # measured oracle calibration (BASELINE.md)
 
@@ -145,6 +173,17 @@ def main():
                 RESULT["value"] = round(per_sweep, 4)
                 RESULT["vs_baseline"] = round(BASELINE_S / per_sweep, 2)
                 RESULT["vs_reference_cpu"] = round(REFERENCE_CPU_S / per_sweep)
+                # Roofline context: bs = 4 (matern32 x cos subband blocks),
+                # 77 ut9 sigma points for N = 3 (ops.cubature).
+                fl = ep_sweep_flops(T, D, N, bs=4, n_cub=77)
+                gflops = fl / per_sweep / 1e9
+                RESULT["gflops"] = round(gflops, 2)
+                RESULT["mfu_pct"] = round(100.0 * gflops * 1e9
+                                          / V5E_PEAK_FLOPS, 4)
+                log(f"[{name}] flop model: {fl/1e9:.3f} GFLOP/sweep -> "
+                    f"{gflops:.1f} GFLOP/s sustained, "
+                    f"MFU {RESULT['mfu_pct']:.4f}% of bf16 peak "
+                    f"(dispatch/latency-bound by design; see RESULT note)")
         except Exception as e:  # pallas may not compile on every backend
             log(f"[{name}] FAILED: {type(e).__name__}: {e}")
 

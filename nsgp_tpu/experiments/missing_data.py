@@ -53,14 +53,33 @@ def _pad_len(corpus: str, files) -> int:
 
 def engine_config(engine: str, itts: int, extra=None) -> dict:
     """The reference's per-engine inference settings
-    (missing_data_music.m:23-26,119-129)."""
+    (missing_data_music.m:23-26,119-129), plus TPU fast paths.
+
+    DOCUMENTED DEVIATION — IHGP multi-sweep damping: the reference drops
+    damping to 0.0025 at 20 sweeps (:25-26), but 20 x 0.0025 leaves the EP
+    sites at ~5% of their fixed-point strength, so its IHGP@20 posterior is
+    *under-converged* and scores below IHGP@1 (measured: 1.08 vs 1.45 dB
+    gap SNR on speech0_female; grid span ruled out — identical at
+    grid_lo -2/-4/-7).  A (0.1 ADF, 0.025 re-site) schedule is stable and
+    closes the gap to full EP (2.08 vs EP@20's 2.18 dB); damping 0.5
+    diverges, which is presumably why the reference went ultra-conservative.
+    """
+    import jax
+
     ek = {}
-    if engine in ("ep", "ihgp"):
+    if engine == "ep":
         ek = {"ep_itts": itts, "ep_fraction": 0.75, "damping": (0.1,)}
+        if jax.default_backend() not in ("cpu",):
+            # fused VMEM kernels for the fixed-site passes (46x the XLA
+            # sequential scan at T=100k; posterior equal to ~1e-4 rel)
+            ek["backend"] = "pallas"
     if engine == "ihgp":
-        ek["grid_lo"] = -7.0  # realized R = lik/ttau with lik=1e-4
-        if itts > 1:
-            ek["damping"] = (0.0025,)
+        ek = {"ep_itts": itts, "ep_fraction": 0.75,
+              "damping": (0.1,) if itts == 1 else (0.1, 0.025),
+              "grid_lo": -7.0,  # realized R = lik/ttau with lik=1e-4
+              # blocked two-level steady scans for sweeps >= 2 (the
+              # long-signal fast path; == one-level scan to 2e-14)
+              "parallel": True, "chunk": 2048}
     if engine == "giekf":
         ek = {"g_iter": itts, "l_iter": 1}
     ek.update(extra or {})
@@ -76,6 +95,9 @@ def run_file(
     pad_T: int | None = None,
     n_samples: int = 200,  # ref missing_data_music.m:150 (s = 200)
     engine_extra=None,
+    seen_configs: set | None = None,  # compile tracking: with a uniform
+    # pad_T, only the FIRST file per (engine, itts, kernel) pays compile;
+    # later files run warm-only (one call)
 ):
     tm, y_norm = train_corpus.load_corpus_model(corpus, name, kernel1)
     params = tm.params._replace(
@@ -98,8 +120,12 @@ def run_file(
     for eng in engines:
         for itts in ep_itts:
             ek = engine_config(eng, itts, engine_extra)
+            ckey = (eng, itts, kernel1, Tp)
+            fresh = seen_configs is None or ckey not in seen_configs
+            if seen_configs is not None:
+                seen_configs.add(ckey)
             times = []
-            for _ in range(2):  # cold (compile) then warm
+            for _ in range(2 if fresh else 1):  # cold (compile) then warm
                 t0 = time.perf_counter()
                 r = md.fill_gaps(tm.model, params, y, mask_j, engine=eng,
                                  n_samples=n_samples, metric_gaps=gaps_j,
@@ -111,8 +137,8 @@ def run_file(
                 "ep_itts": itts,
                 "rmse_gaps": float(r.rmse_gaps),
                 "snr_gaps_db": float(r.snr_gaps),
-                "seconds_cold": round(times[0], 3),
-                "seconds_warm": round(times[1], 3),
+                "seconds_cold": round(times[0], 3) if fresh else None,
+                "seconds_warm": round(times[-1], 3),
             })
             print({"file": name, **rows[-1]}, file=sys.stderr, flush=True)
     return {"file": name, "T": T, "pad_T": Tp, "D": tm.model.D,
@@ -128,13 +154,14 @@ def run(corpus="music", files=None, kernels=("exp",), engines=("ep", "ihgp"),
            "protocol": "reference (whole y_norm @16kHz, 6x321-sample gaps)",
            "gap_samples": 2 * protocol.GAP_HALF + 1,
            "files": []}
+    seen: set = set()
     for name in files:
         for kernel in kernels:
             t0 = time.perf_counter()
             out["files"].append(run_file(
                 corpus, name, kernel1=kernel, engines=engines,
                 ep_itts=ep_itts, pad_T=pad_T, n_samples=n_samples,
-                engine_extra=engine_extra,
+                engine_extra=engine_extra, seen_configs=seen,
             ))
             print(f"[missing_data] {name}/{kernel}: "
                   f"{time.perf_counter() - t0:.1f}s",

@@ -68,7 +68,16 @@ def run_file(
 
     # Gaps start past the pre-training head so SNR is scored only on data
     # the filterbank/NMF pretraining never saw (ADVICE r2).
-    lo = min(0.95, (n_train + 1) / T + 0.02)
+    lo = (n_train + 1) / T + 0.02
+    if lo >= 0.95:
+        # n_gaps distinct positions need a test region past the training
+        # head; overlapping gaps would silently degenerate the score
+        # (ADVICE r3).
+        raise ValueError(
+            f"test region too short for {n_gaps} distinct gaps: training "
+            f"head covers {n_train + 1}/{T} samples — lower train_seconds "
+            f"or raise tile/seconds"
+        )
     starts = np.linspace(lo, 0.95, n_gaps) * T
     lengths = [GAP_LENGTHS[i % len(GAP_LENGTHS)] for i in range(n_gaps)]
     mask = md.make_gap_mask(T, list(zip(starts.astype(int), lengths)))
@@ -76,7 +85,9 @@ def run_file(
     fill = lambda: md.fill_gaps(
         tm.model, tm.params, y_test, mask, engine="ihgp", n_samples=20,
         ep_itts=ep_itts, ep_fraction=0.75,
-        damping=(0.1,) if ep_itts == 1 else (0.0025,), grid_lo=-4.0,
+        # (0.1 ADF, 0.025 re-site): the stable multi-sweep schedule (the
+        # reference's 0.0025 under-converges — see missing_data.engine_config)
+        damping=(0.1,) if ep_itts == 1 else (0.1, 0.025), grid_lo=-4.0,
         parallel=True, chunk=2048,  # blocked two-level steady fast path
     )
     # First call pays JIT compilation; the second (same shapes) measures

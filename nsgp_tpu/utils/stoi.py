@@ -64,6 +64,10 @@ def stoi(clean, degraded, fs: float) -> float:
         x = resample_poly(x, FS_STOI // g, fs // g)
         y = resample_poly(y, FS_STOI // g, fs // g)
 
+    # A post-resample signal shorter than one frame would raise a raw
+    # numpy IndexError inside _frames (ADVICE r3) — fail descriptively.
+    if x.shape[0] < FRAME:
+        raise ValueError(f"signal too short for STOI (need >= {SEG} frames)")
     hop = FRAME // 2
     win = np.hanning(FRAME + 2)[1:-1]
     xf = _frames(x, FRAME, hop) * win
