@@ -125,21 +125,34 @@ def run_file(
             if seen_configs is not None:
                 seen_configs.add(ckey)
             times = []
-            for _ in range(2 if fresh else 1):  # cold (compile) then warm
-                t0 = time.perf_counter()
-                r = md.fill_gaps(tm.model, params, y, mask_j, engine=eng,
-                                 n_samples=n_samples, metric_gaps=gaps_j,
-                                 **ek)
-                jax.block_until_ready(r.y_hat)
-                times.append(time.perf_counter() - t0)
-            rows.append({
-                "engine": eng,
-                "ep_itts": itts,
-                "rmse_gaps": float(r.rmse_gaps),
-                "snr_gaps_db": float(r.snr_gaps),
-                "seconds_cold": round(times[0], 3) if fresh else None,
-                "seconds_warm": round(times[-1], 3),
-            })
+            try:
+                for _ in range(2 if fresh else 1):  # cold (compile), warm
+                    t0 = time.perf_counter()
+                    r = md.fill_gaps(tm.model, params, y, mask_j,
+                                     engine=eng, n_samples=n_samples,
+                                     metric_gaps=gaps_j, **ek)
+                    jax.block_until_ready(r.y_hat)
+                    times.append(time.perf_counter() - t0)
+                rows.append({
+                    "engine": eng,
+                    "ep_itts": itts,
+                    "rmse_gaps": float(r.rmse_gaps),
+                    "snr_gaps_db": float(r.snr_gaps),
+                    "seconds_cold": round(times[0], 3) if fresh else None,
+                    "seconds_warm": round(times[-1], 3),
+                })
+            except Exception as e:  # TPU worker crash / transient runtime
+                # fault: record the failed row so the file completes and a
+                # resumed run can fill it in, then let the caller decide
+                rows.append({
+                    "engine": eng, "ep_itts": itts,
+                    "rmse_gaps": float("nan"),
+                    "snr_gaps_db": float("nan"),
+                    "seconds_cold": None, "seconds_warm": None,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                })
+                if seen_configs is not None:
+                    seen_configs.discard(ckey)
             print({"file": name, **rows[-1]}, file=sys.stderr, flush=True)
     return {"file": name, "T": T, "pad_T": Tp, "D": tm.model.D,
             "N": tm.model.N, "kernel1": kernel1,
@@ -147,9 +160,16 @@ def run_file(
 
 
 def run(corpus="music", files=None, kernels=("exp",), engines=("ep", "ihgp"),
-        ep_itts=(1, 20), n_samples=200, engine_extra=None):
+        ep_itts=(1, 20), n_samples=200, engine_extra=None, prior=None):
+    """``prior``: a previous (possibly crash-truncated) result dict —
+    (file, kernel) entries whose rows are all error-free are reused, the
+    rest rerun.  Lets a shell-level retry survive TPU worker crashes."""
     files = tuple(files) if files else protocol.CORPUS_FILES[corpus]
     pad_T = _pad_len(corpus, files)
+    done = {}
+    for f in (prior or {}).get("files", []):
+        if not any("error" in row for row in f["rows"]):
+            done[(f["file"], f["kernel1"])] = f
     out = {"experiment": f"missing_data_{corpus}",
            "protocol": "reference (whole y_norm @16kHz, 6x321-sample gaps)",
            "gap_samples": 2 * protocol.GAP_HALF + 1,
@@ -157,6 +177,9 @@ def run(corpus="music", files=None, kernels=("exp",), engines=("ep", "ihgp"),
     seen: set = set()
     for name in files:
         for kernel in kernels:
+            if (name, kernel) in done:
+                out["files"].append(done[(name, kernel)])
+                continue
             t0 = time.perf_counter()
             out["files"].append(run_file(
                 corpus, name, kernel1=kernel, engines=engines,
@@ -209,14 +232,22 @@ def main():
                     choices=["ep", "ihgp", "giekf"])
     ap.add_argument("--itts", nargs="+", type=int, default=[1, 20])
     ap.add_argument("--n-samples", type=int, default=200)
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse error-free (file, kernel) entries from the "
+                         "existing --out file; rerun the rest")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
         args.out = f"results/missing_data_{args.corpus}.json"
     _setup_backend(args.device)
+    prior = None
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
     res = run(corpus=args.corpus, files=args.files,
               kernels=tuple(args.kernels), engines=tuple(args.engines),
-              ep_itts=tuple(args.itts), n_samples=args.n_samples)
+              ep_itts=tuple(args.itts), n_samples=args.n_samples,
+              prior=prior)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

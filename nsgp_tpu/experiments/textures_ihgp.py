@@ -26,7 +26,9 @@ import numpy as np
 
 from nsgp_tpu.apps import missing_data as md
 from nsgp_tpu.experiments import AUDIO_ROOT
-from nsgp_tpu.experiments.missing_data import GAP_LENGTHS
+# gap lengths cycled over the texture's gap grid (the reference's
+# missing-data lengths, missing_data_music.m:119 gapLim [10, 320])
+GAP_LENGTHS = (10, 20, 40, 80, 160, 320)
 from nsgp_tpu.pretrain import pipeline
 from nsgp_tpu.utils.audio import read_wav
 
