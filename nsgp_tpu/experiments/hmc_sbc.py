@@ -125,7 +125,7 @@ def run_one(seed, model, ref, T, ep_itts, n_chains, n_samples, thin,
 
 
 def run(runs=16, T=1000, ep_itts_arms=(1, 3), n_chains=2, n_samples=100,
-        thin=5, seed0=0, arm_overrides=None):
+        thin=5, seed0=0, arm_overrides=None, save_path=None):
     """arm_overrides: {ep_itts: dict} per-arm budget (runs/n_samples/
     n_leapfrog) — the multi-sweep energy's gradient is ~6x the ADF one, so
     its arm runs a smaller but still rank-resolving budget."""
@@ -181,6 +181,10 @@ def run(runs=16, T=1000, ep_itts_arms=(1, 3), n_chains=2, n_samples=100,
                 float(np.mean([r["coverage_90ci"] for r in rows])), 3),
             "seconds": round(time.perf_counter() - t0, 1),
         })
+        if save_path:  # incremental save: a crash in a later arm (host
+            # OOM during the heavier multi-sweep compiles) keeps this one
+            with open(save_path, "w") as f:
+                json.dump(out, f, indent=2)
     return out
 
 
@@ -197,10 +201,11 @@ def main():
     ap.add_argument("--out", default="results/hmc_sbc.json")
     args = ap.parse_args()
     _setup_backend(args.device)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     res = run(runs=args.runs, T=args.T, ep_itts_arms=tuple(args.itts),
               arm_overrides={3: dict(runs=max(8, args.runs * 3 // 4),
-                                     n_samples=64, n_leapfrog=4)})
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+                                     n_samples=64, n_leapfrog=4)},
+              save_path=args.out)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res, indent=2))

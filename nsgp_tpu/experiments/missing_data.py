@@ -73,9 +73,19 @@ def engine_config(engine: str, itts: int, extra=None) -> dict:
             # fused VMEM kernels for the fixed-site passes (46x the XLA
             # sequential scan at T=100k; posterior equal to ~1e-4 rel)
             ek["backend"] = "pallas"
-    if engine == "ihgp":
-        ek = {"ep_itts": itts, "ep_fraction": 0.75,
-              "damping": (0.1,) if itts == 1 else (0.1, 0.025),
+    if engine.startswith("ihgp"):
+        # Multi-sweep damping is FILE-DEPENDENT (neither arm dominates):
+        # the tuned (0.1, 0.025) schedule converges the sites and tracks
+        # full EP on speech and most music, but on strongly-harmonic files
+        # (bamboo_flute) site convergence exposes the steady-variance
+        # cavity bias (means inflate ~25%) and the reference's ultra-
+        # conservative flat 0.0025 (missing_data_music.m:25-26), which
+        # barely moves the sites, scores better.  The grid reports BOTH:
+        # 'ihgp' = tuned, 'ihgp_ref' = reference parity.
+        damping = (0.1,) if itts == 1 else (
+            (0.0025,) if engine == "ihgp_ref" else (0.1, 0.025)
+        )
+        ek = {"ep_itts": itts, "ep_fraction": 0.75, "damping": damping,
               "grid_lo": -7.0,  # realized R = lik/ttau with lik=1e-4
               # blocked two-level steady scans for sweeps >= 2 (the
               # long-signal fast path; == one-level scan to 2e-14)
@@ -129,7 +139,8 @@ def run_file(
                 for _ in range(2 if fresh else 1):  # cold (compile), warm
                     t0 = time.perf_counter()
                     r = md.fill_gaps(tm.model, params, y, mask_j,
-                                     engine=eng, n_samples=n_samples,
+                                     engine=eng.split("_")[0],
+                                     n_samples=n_samples,
                                      metric_gaps=gaps_j, **ek)
                     jax.block_until_ready(r.y_hat)
                     times.append(time.perf_counter() - t0)
@@ -229,7 +240,7 @@ def main():
     ap.add_argument("--kernels", nargs="+", default=["exp"],
                     choices=["exp", "matern32"])
     ap.add_argument("--engines", nargs="+", default=["ep", "ihgp"],
-                    choices=["ep", "ihgp", "giekf"])
+                    choices=["ep", "ihgp", "ihgp_ref", "giekf"])
     ap.add_argument("--itts", nargs="+", type=int, default=[1, 20])
     ap.add_argument("--n-samples", type=int, default=200)
     ap.add_argument("--resume", action="store_true",

@@ -30,7 +30,7 @@ from nsgp_tpu.experiments import AUDIO_ROOT
 # missing-data lengths, missing_data_music.m:119 gapLim [10, 320])
 GAP_LENGTHS = (10, 20, 40, 80, 160, 320)
 from nsgp_tpu.pretrain import pipeline
-from nsgp_tpu.utils.audio import read_wav
+from nsgp_tpu.utils.audio import load_normalized
 
 
 def run_file(
@@ -38,18 +38,20 @@ def run_file(
     D=12,
     N=3,
     kernel1="exp",
-    train_seconds=0.75,
+    train_seconds=None,  # None = whole untiled recording (ref protocol)
     seconds=None,
-    tile=2,
+    tile=6,
     n_gaps=12,
     ep_itts=4,
     pretrain_kwargs=None,
 ):
-    y_raw, fs = read_wav(path)
-    y_raw = y_raw / (np.std(y_raw) + 1e-12)
+    # Reference preprocessing (train_textures.m -> train_GTFNMF_fixed_
+    # params.m): 16 kHz, whole-signal unit-variance normalization, all
+    # pre-training stages on the whole normalized recording.
+    y_raw, _, fs = load_normalized(path, fs_target=16000)
     if seconds is not None:
         y_raw = y_raw[: int(seconds * fs)]
-    n_train = int(train_seconds * fs)
+    n_train = int(train_seconds * fs) if train_seconds else len(y_raw)
 
     kw = dict(num_levels=2, steps_per_level=200)
     kw.update(pretrain_kwargs or {})
@@ -63,24 +65,18 @@ def run_file(
 
     # Textures are statistically stationary, so tiling the recording is a
     # faithful way to reach the reference's "hundreds of thousands" regime
-    # on the 2 s corpus files (88,200 samples each).
+    # on the 2 s corpus files (32,000 samples each at 16 kHz).
     y_full = np.tile(y_raw, max(int(tile), 1))
     T = int(y_full.shape[0])
     y_test = jnp.asarray(y_full)
 
-    # Gaps start past the pre-training head so SNR is scored only on data
-    # the filterbank/NMF pretraining never saw (ADVICE r2).
-    lo = (n_train + 1) / T + 0.02
-    if lo >= 0.95:
-        # n_gaps distinct positions need a test region past the training
-        # head; overlapping gaps would silently degenerate the score
-        # (ADVICE r3).
+    if n_gaps / 0.9 > T / (2 * max(GAP_LENGTHS)):
+        # n_gaps distinct positions need room; overlapping gaps would
+        # silently degenerate the score (ADVICE r3).
         raise ValueError(
-            f"test region too short for {n_gaps} distinct gaps: training "
-            f"head covers {n_train + 1}/{T} samples — lower train_seconds "
-            f"or raise tile/seconds"
+            f"signal too short for {n_gaps} distinct gaps at T={T}"
         )
-    starts = np.linspace(lo, 0.95, n_gaps) * T
+    starts = np.linspace(0.05, 0.95, n_gaps) * T
     lengths = [GAP_LENGTHS[i % len(GAP_LENGTHS)] for i in range(n_gaps)]
     mask = md.make_gap_mask(T, list(zip(starts.astype(int), lengths)))
 
