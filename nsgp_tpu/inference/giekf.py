@@ -211,8 +211,41 @@ def _rts_dense(A, Q, ms, Ps, jitter):
     )
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 6))
 @f32_matmuls
+def _giekf_pass(
+    model: GTNMFModel,
+    params: GTNMFParams,
+    y: jax.Array,
+    mask: jax.Array,
+    m0: jax.Array,
+    P0: jax.Array,
+    config: GIEKFConfig,
+):
+    """One global pass: (I)EKF filter + dense RTS smoother."""
+    ssm = model.build_ssm(params)
+    A, Q, _, Hd = dense_model(ssm)
+    msf, Psf, nll = _filter(
+        model, params.W, params.lik, A, Q, Hd, y, mask, m0, P0, config,
+        config.l_iter,
+    )
+    ms, Ps = _rts_dense(A, Q, msf, Psf, config.jitter)
+    good = (
+        jnp.all(jnp.isfinite(ms))
+        & jnp.all(jnp.isfinite(Ps))
+        & jnp.isfinite(nll)
+    )
+    return ms, Ps, nll, good
+
+
+@partial(jax.jit, static_argnums=(0,))
+@f32_matmuls
+def _giekf_init(model: GTNMFModel, params: GTNMFParams):
+    ssm = model.build_ssm(params)
+    A, _, Pinf, Hd = dense_model(ssm)
+    return jnp.zeros((A.shape[0],), A.dtype), Pinf, Hd
+
+
 def giekf_infer(
     model: GTNMFModel,
     params: GTNMFParams,
@@ -220,42 +253,36 @@ def giekf_infer(
     mask: Optional[jax.Array] = None,
     config: GIEKFConfig = GIEKFConfig(),
 ) -> GIEKFResult:
-    """Global-IEKF posterior inference (prediction mode of the reference)."""
+    """Global-IEKF posterior inference (prediction mode of the reference).
+
+    Global iteration, reference-exact (gf_giekf_modulator_nmf.m:128-131):
+    the state is initialized from the prior only on the FIRST pass; pass
+    s >= 2 warm-starts the filter from the smoothed (m, P) at k = 1 left
+    behind by the previous smoother sweep.
+
+    Each global pass is its OWN jit call (host-level loop): one compiled
+    pass reused g_iter times instead of a g_iter-times-unrolled program —
+    ~g_iter x smaller compile, and single-dispatch runtimes stay in the
+    seconds range (a 20-pass fused program runs minutes in one XLA
+    execution, which the TPU-tunnel runtime's watchdog can kill).
+    """
     if mask is None:
         mask = ~jnp.isnan(y)
     y = jnp.nan_to_num(y)
-    T = y.shape[0]
-    ssm = model.build_ssm(params)
-    A, Q, Pinf, Hd = dense_model(ssm)
-    m_dim = A.shape[0]
-    sn2 = params.lik
+    m0, P0, Hd = _giekf_init(model, params)
 
-    # Global iteration, reference-exact (gf_giekf_modulator_nmf.m:128-131):
-    # the state is initialized from the prior only on the FIRST pass; pass
-    # s >= 2 warm-starts the filter from the smoothed (m, P) at k = 1 left
-    # behind by the previous smoother sweep (and skips the k = 1 prediction).
-    m0 = jnp.zeros((m_dim,), A.dtype)
-    P0 = Pinf
     ms = Ps = None
-    nll = jnp.zeros((), A.dtype)
+    nll = jnp.zeros((), m0.dtype)
     for g in range(config.g_iter):
-        msf, Psf, nll_g = _filter(
-            model, params.W, sn2, A, Q, Hd, y, mask, m0, P0, config,
-            config.l_iter,
+        ms_g, Ps_g, nll_g, good = _giekf_pass(
+            model, params, y, mask, m0, P0, config
         )
-        ms_g, Ps_g = _rts_dense(A, Q, msf, Psf, config.jitter)
-        # Pass-level divergence guard: the dense RTS solve can still go
-        # non-finite when a pass's filtered covariances collapse.  Keep the
-        # last finite pass's posterior (pass 1 — plain IEKF from the prior —
-        # is stable in practice) and restart the next pass from it.
+        # Pass-level divergence guard: keep the last finite pass's
+        # posterior (pass 1 — plain IEKF from the prior — is stable in
+        # practice) and restart the next pass from it.
         if ms is None:
             ms, Ps, nll = ms_g, Ps_g, nll_g
         else:
-            good = (
-                jnp.all(jnp.isfinite(ms_g))
-                & jnp.all(jnp.isfinite(Ps_g))
-                & jnp.isfinite(nll_g)
-            )
             ms = jnp.where(good, ms_g, ms)
             Ps = jnp.where(good, Ps_g, Ps)
             nll = jnp.where(good, nll_g, nll)

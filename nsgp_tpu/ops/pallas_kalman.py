@@ -226,7 +226,7 @@ _ZFLOOR = 1e-10  # ref likModulatorNMFPower.m:28,55 floor on Z
 def _adf_kernel(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
                 H_ref, W_ref, xi_ref, wn_ref, sn2_ref,
                 ms_ref, Ps_ref, lZ_ref, tto_ref, tno_ref, m_s, P_s,
-                *, bs, B, D, N, damp, link, variant):
+                *, bs, B, D, N, damp, link, variant, z_floor=_ZFLOOR):
     """Forward filter with interleaved ADF moment matching (EP sweep 1).
 
     Per step: predict -> cubature moment match at the predicted marginal
@@ -281,9 +281,19 @@ def _adf_kernel(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
         lmax = jnp.max(log_norm)
         lmax = jnp.where(jnp.isfinite(lmax), lmax, 0.0)
         norm = jnp.exp(log_norm - lmax)  # (S, 1)
-        Z0 = jnp.maximum(jnp.sum(wn * norm), _ZFLOOR)
-        lZk = jnp.log(Z0) + lmax
-        Zi = 1.0 / Z0
+        # RAW-scale floor on Z exactly as the reference and ops/moments.py
+        # (likModulatorNMFPower.m:55 `Z = max(Z, 1e-10)`): when the
+        # observation is very unlikely under the prediction (onsets), the
+        # floored Z also divides the derivatives, shrinking them toward 0
+        # so the site update is gently rejected.  Flooring the SHIFTED sum
+        # instead (the round-3 version) divides by a tiny Z and produced
+        # huge wrong-curvature modulator sites at onsets -> NaN by sweep 6
+        # on speech6_female.
+        Z0r = jnp.sum(wn * norm)
+        Z0 = jnp.maximum(Z0r, jnp.finfo(norm.dtype).tiny)
+        lZ_raw = lmax + jnp.log(Z0)
+        lZk = jnp.maximum(lZ_raw, jnp.log(jnp.asarray(z_floor, norm.dtype)))
+        Zi = jnp.exp(lZ_raw - lZk) / Z0
         rs = resid / s2e
         wns = wn * norm
         dlZ_z = Zi * jnp.sum(wns * rs * a, axis=0, keepdims=True)  # (1, D)
@@ -378,7 +388,7 @@ def adf_filter_pallas(
     ms_b, Ps_b, lZ, tto, tno = pl.pallas_call(
         functools.partial(
             _adf_kernel, bs=bs, B=block, D=D, N=N, damp=damp,
-            link=mp.link, variant=mp.variant,
+            link=mp.link, variant=mp.variant, z_floor=mp.z_floor,
         ),
         grid=(nblk,),
         in_specs=[

@@ -124,3 +124,29 @@ def test_ep_infer_pallas_handles_nan_gaps():
                                rtol=1e-9)
     d = np.abs(np.asarray(r_pl.Eft[:-20]) - np.asarray(r_seq.Eft[:-20]))
     assert d.max() < 5e-3, d.max()
+
+
+def test_adf_pallas_zfloor_matches_xla_on_outliers():
+    """Raw-scale Z floor parity (the speech6_female NaN, round 4): at steps
+    where the observation is wildly unlikely under the prediction, the
+    reference floors Z and divides the derivatives by the FLOORED Z
+    (likModulatorNMFPower.m:55), gently rejecting the site.  The fused ADF
+    kernel must reproduce that — flooring the shifted sum instead produced
+    huge wrong-curvature modulator sites at onsets."""
+    from nsgp_tpu.inference import ep
+    from nsgp_tpu.models.gtnmf import sample_prior
+
+    model, params = _toy_model(D=3, N=2)
+    y, _, _ = sample_prior(jax.random.PRNGKey(9), model, params, T=256)
+    # inject a violent onset: a 50-sigma outlier drives Z under the floor
+    y = y.at[128].set(50.0 * jnp.std(y))
+    r_seq = ep.ep_infer(model, params, y, None, ep.EPConfig(ep_itts=1))
+    r_pl = ep.ep_infer(model, params, y, None,
+                       ep.EPConfig(ep_itts=1, backend="pallas",
+                                   pallas_block=64))
+    np.testing.assert_allclose(float(r_pl.nlZ[0]), float(r_seq.nlZ[0]),
+                               rtol=1e-9)
+    tt_s = np.asarray(r_seq.sites.ttau)
+    tt_p = np.asarray(r_pl.sites.ttau)
+    np.testing.assert_allclose(tt_p, tt_s, rtol=1e-5, atol=1e-7)
+    assert np.all(np.isfinite(np.asarray(r_pl.Eft)))
