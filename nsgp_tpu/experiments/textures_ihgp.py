@@ -140,13 +140,14 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--files", nargs="+",
                     default=["stim312_wind", "stim35_boiling_water"])
-    ap.add_argument("--tile", type=int, default=2)
+    ap.add_argument("--tile", type=int, default=6)  # 6 x 32k = 192k @16kHz
+    ap.add_argument("--itts", type=int, default=4)
     ap.add_argument("--out", default="results/textures_ihgp.json")
     args = ap.parse_args()
     from nsgp_tpu.experiments.missing_data import _setup_backend
 
     _setup_backend(args.device)
-    res = run(files=tuple(args.files), tile=args.tile)
+    res = run(files=tuple(args.files), tile=args.tile, ep_itts=args.itts)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
