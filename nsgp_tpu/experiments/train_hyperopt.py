@@ -33,17 +33,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from nsgp_tpu.apps import missing_data as md
-from nsgp_tpu.experiments import AUDIO_ROOT
-from nsgp_tpu.experiments.missing_data import gaps_for
+from nsgp_tpu.experiments import protocol, train_corpus
 from nsgp_tpu.inference import learn
-from nsgp_tpu.pretrain import pipeline
-from nsgp_tpu.utils.audio import read_wav
 
-# Reference constraint ranges (train_GTFNMF_gaps.m:117-122)
+# Reference constraint ranges and tune mask (train_model.m:110-127:
+# tune_hypers = [0, 0, 1, 0, 1, 1, 1] — len_fast, var_slow, len_slow, W)
 SPECS = {
-    "lik": "log",
+    "lik": "fixed",  # w_lik_train = 1e-3, not tuned (train_model.m:42,126)
     "sub_var": "fixed",
-    "sub_len": "fixed",
+    "sub_len": (100.0, 2000.0),  # range_len_fast
     "omega": "fixed",
     "mod_var": (1.0, 10.0),
     "mod_len": (200.0, 5000.0),
@@ -65,6 +63,7 @@ def _clip_into(params):
     """Clip the init into the constraint interiors (ref :134-139)."""
     c = lambda x, lo, hi: jnp.clip(x, lo + 1e-3 * (hi - lo), hi - 1e-3 * (hi - lo))
     return params._replace(
+        sub_len=c(params.sub_len, *SPECS["sub_len"]),
         mod_var=c(params.mod_var, *SPECS["mod_var"]),
         mod_len=c(params.mod_len, *SPECS["mod_len"]),
         W=c(params.W, *SPECS["W"]),
@@ -72,35 +71,24 @@ def _clip_into(params):
 
 
 def run_file(
-    path: str,
-    D=12,
-    N=3,
-    kernel1="matern32",
-    train_seconds=0.6,
-    test_seconds=0.6,
+    corpus: str,
+    name: str,
+    kernel1="exp",
     steps=150,
     learning_rate=1e-2,
-    ep_itts_train=1,
-    w_lik_train=1e-3,
+    ep_itts_train=1,  # ref train_model.m:60 (ADF energy)
+    w_lik_train=1e-3,  # ref :42
     gaps_train=False,
-    pretrain_kwargs=None,
-    eval_itts=8,
+    eval_itts=20,
 ):
-    y_raw, fs = read_wav(path)
-    y_raw = y_raw / (np.std(y_raw) + 1e-12)
-    n_train = int(train_seconds * fs)
-    n_test = int(test_seconds * fs)
-    y_train = jnp.asarray(y_raw[:n_train])
-    y_test = jnp.asarray(y_raw[n_train : n_train + n_test])
-
-    kw = dict(num_levels=2, steps_per_level=200)
-    kw.update(pretrain_kwargs or {})
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        tm = pipeline.train_gtnmf_fixed_params(
-            y_train, D=D, N=N, kernel1=kernel1, fs=float(fs),
-            filterbank_kwargs=kw,
-        )
+    """Reference-protocol hyperopt: start from the trained fixed-params
+    artifact, optimize the ADF energy on yTrain = y_norm[:16000]
+    (train_model.m:69 train_duration), then score the reference
+    missing-data gap fill on the whole y_norm, learned vs init."""
+    tm, y_norm = train_corpus.load_corpus_model(corpus, name, kernel1)
+    T = len(y_norm)
+    n_train = min(16000, T)
+    y_train = jnp.asarray(y_norm[:n_train])
     init = _clip_into(tm.params._replace(lik=jnp.asarray(w_lik_train)))
 
     mask = train_gap_mask(n_train) if gaps_train else None
@@ -113,21 +101,24 @@ def run_file(
     opt_s = time.perf_counter() - t0
     energies = np.asarray(fit.energies)
 
-    # Downstream evaluation: missing-data gap fill on the held-out segment,
-    # init vs learned hypers, same engine/config.
-    T = int(y_test.shape[0])
-    gmask = md.make_gap_mask(T, gaps_for(T))
+    # Downstream evaluation: the reference missing-data protocol on the
+    # whole trained signal, init vs learned hypers.
+    gmask = jnp.asarray(protocol.reference_gap_mask(name, T))
+    y = jnp.asarray(y_norm)
     ek = dict(ep_itts=eval_itts, ep_fraction=0.75, damping=(0.1,))
-    r_init = md.fill_gaps(tm.model, init, y_test, gmask, engine="ep",
-                          n_samples=20, **ek)
-    r_opt = md.fill_gaps(tm.model, fit.params, y_test, gmask, engine="ep",
-                         n_samples=20, **ek)
+    if jax.default_backend() not in ("cpu",):
+        ek["backend"] = "pallas"
+    w_test = jnp.asarray(protocol.W_LIK_MISSING)
+    r_init = md.fill_gaps(tm.model, init._replace(lik=w_test), y, gmask,
+                          engine="ep", n_samples=200, **ek)
+    r_opt = md.fill_gaps(tm.model, fit.params._replace(lik=w_test), y, gmask,
+                         engine="ep", n_samples=200, **ek)
 
     return {
-        "file": os.path.basename(path),
-        "fs": fs,
-        "D": D,
-        "N": N,
+        "file": name,
+        "T": T,
+        "D": tm.model.D,
+        "N": tm.model.N,
         "kernel1": kernel1,
         "gaps_train": bool(gaps_train),
         "steps": steps,
@@ -155,8 +146,8 @@ def run(files=("speech0_female", "speech1_male"), corpus="speech",
         "files": [],
     }
     for name in files:
-        path = os.path.join(AUDIO_ROOT, corpus, f"{name}.wav")
-        out["files"].append(run_file(path, gaps_train=gaps_train, **kwargs))
+        out["files"].append(run_file(corpus, name, gaps_train=gaps_train,
+                                     **kwargs))
     out["aggregate"] = {
         "mean_energy_drop": float(
             np.mean([f["energy_first"] - f["energy_last"] for f in out["files"]])
