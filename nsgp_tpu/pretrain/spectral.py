@@ -65,14 +65,19 @@ LAM_SCALE = {"exp": 1.0, "matern12": 1.0, "matern32": np.sqrt(3.0),
              "matern52": np.sqrt(5.0)}
 
 
-def mixture_spectrum(kernel: str, sigma2, lam, omega0, w):
-    """Spectral-mixture spectrum: 0.5 * [S(w - w0) + S(w + w0)] per channel,
-    summed over channels.  Shapes: params (D,), w (F,) -> (F,)."""
+def component_spectra(kernel: str, sigma2, lam, omega0, w):
+    """Per-channel spectral-mixture spectra 0.5 * [S(w - w0) + S(w + w0)].
+    Shapes: params (D,), w (F,) -> (F, D)."""
     Sm = lambda wq: _matern_spec(kernel, sigma2[None, :], lam[None, :], wq)
     dw_minus = w[:, None] - omega0[None, :]
     dw_plus = w[:, None] + omega0[None, :]
-    S = 0.5 * (Sm(dw_minus) + Sm(dw_plus))  # (F, D)
-    return jnp.sum(S, axis=-1)
+    return 0.5 * (Sm(dw_minus) + Sm(dw_plus))  # (F, D)
+
+
+def mixture_spectrum(kernel: str, sigma2, lam, omega0, w):
+    """Spectral-mixture spectrum: 0.5 * [S(w - w0) + S(w + w0)] per channel,
+    summed over channels.  Shapes: params (D,), w (F,) -> (F,)."""
+    return jnp.sum(component_spectra(kernel, sigma2, lam, omega0, w), axis=-1)
 
 
 class FilterbankFit(NamedTuple):
