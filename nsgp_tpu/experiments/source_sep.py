@@ -112,8 +112,9 @@ def run(
         ek["grid_lo"] = -7.0
         ek["parallel"] = True
         ek["chunk"] = 2048
-    if engine == "ep" and jax.default_backend() not in ("cpu",):
-        ek["backend"] = "pallas"
+    # NOTE: no pallas backend here — the joint 3-source model has N = 9
+    # modulators, whose ut9 cubature (3973 sigma points) blows the fused
+    # kernel's VMEM budget; the XLA path chunks the moment batch instead.
     t0 = time.perf_counter()
     r = ss.separate(models, params, y_test, engine=engine,
                     true_sources=jnp.asarray(parts), n_samples=n_samples,
