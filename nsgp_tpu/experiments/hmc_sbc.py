@@ -124,8 +124,29 @@ def run_one(seed, model, ref, T, ep_itts, n_chains, n_samples, thin,
     return names, ranks, in90, len(flat), acc
 
 
+def _run_one_subprocess(seed, T, itts, n_chains, n_samples, thin, leap):
+    """One replicate in a fresh interpreter: XLA-CPU's LLVM JIT never frees
+    code-section memory, so ~10 in-process replicates (each compiling fresh
+    energy/leapfrog closures) exhaust the allocator.  Subprocesses bound it."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-m", "nsgp_tpu.experiments.hmc_sbc", "--worker",
+         str(seed), str(T), str(itts), str(n_chains), str(n_samples),
+         str(thin), str(leap)],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return (d["names"], d["ranks"], d["in90"], d["L"],
+            np.asarray(d["accept"]))
+
+
 def run(runs=16, T=1000, ep_itts_arms=(1, 3), n_chains=2, n_samples=100,
-        thin=5, seed0=0, arm_overrides=None, save_path=None):
+        thin=5, seed0=0, arm_overrides=None, save_path=None,
+        subprocess_runs=True):
     """arm_overrides: {ep_itts: dict} per-arm budget (runs/n_samples/
     n_leapfrog) — the multi-sweep energy's gradient is ~6x the ADF one, so
     its arm runs a smaller but still rank-resolving budget."""
@@ -143,10 +164,16 @@ def run(runs=16, T=1000, ep_itts_arms=(1, 3), n_chains=2, n_samples=100,
         all_ranks, all_in90, names, L = {}, {}, None, None
         accs = []
         for r in range(runs_eff):
-            names, ranks, in90, L, acc = run_one(
-                seed0 + 1000 * r + itts, model, ref, T, itts,
-                n_chains, a_samples, thin, n_leapfrog=a_leap,
-            )
+            seed = seed0 + 1000 * r + itts
+            if subprocess_runs:
+                names, ranks, in90, L, acc = _run_one_subprocess(
+                    seed, T, itts, n_chains, a_samples, thin, a_leap,
+                )
+            else:
+                names, ranks, in90, L, acc = run_one(
+                    seed, model, ref, T, itts,
+                    n_chains, a_samples, thin, n_leapfrog=a_leap,
+                )
             accs.append(float(acc.mean()))
             for n, rk, c in zip(names, ranks, in90):
                 all_ranks.setdefault(n, []).append(rk)
@@ -192,6 +219,21 @@ def main():
     import argparse
 
     from nsgp_tpu.experiments.missing_data import _setup_backend
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        # one replicate, JSON line on stdout (see _run_one_subprocess)
+        _setup_backend("cpu")
+        seed, T, itts, n_chains, n_samples, thin, leap = (
+            int(v) for v in sys.argv[2:9]
+        )
+        model, ref = _base()
+        names, ranks, in90, L, acc = run_one(
+            seed, model, ref, T, itts, n_chains, n_samples, thin,
+            n_leapfrog=leap,
+        )
+        print(json.dumps({"names": names, "ranks": ranks, "in90": in90,
+                          "L": L, "accept": [float(a) for a in acc]}))
+        return
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
