@@ -137,3 +137,44 @@ def test_transform_box_constraints_roundtrip_and_bounds():
     assert np.all(np.asarray(res.params.sub_len) > 5.0)
     np.testing.assert_allclose(np.asarray(res.params.W), np.asarray(params.W))
     assert np.isfinite(float(res.final_energy))
+
+
+def test_tv_wiener_passthrough_and_suppression():
+    """tv_wiener sanity: with huge envelopes and tiny noise the gain is ~1
+    (COLA reconstruction returns the input); with zero envelopes the gain
+    is ~0 (output suppressed)."""
+    import jax
+
+    from nsgp_tpu.models.gtnmf import GTNMFModel
+
+    D, N, T = 3, 2, 4000
+    model = GTNMFModel(D=D, N=N, kernel1="exp", kernel2="matern52",
+                       variant="sq", p_cubature=5)
+    from nsgp_tpu.models.gtnmf import GTNMFParams
+    params = GTNMFParams(
+        lik=jnp.asarray(1e-4),
+        sub_var=jnp.full((D,), 0.06),
+        sub_len=jnp.asarray([200.0, 150.0, 100.0]),
+        omega=jnp.asarray([0.3, 0.9, 1.6]),
+        mod_var=jnp.ones((N,)),
+        mod_len=jnp.asarray([200.0, 300.0]),
+        W=jnp.full((D, N), 0.5),
+    )
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (T,))
+    # huge envelopes: Eft g-channels large -> a2 huge -> G ~ 1
+    Eft_hi = jnp.concatenate(
+        [jnp.zeros((T, D)), jnp.full((T, N), 30.0)], axis=1
+    )
+    out_hi = denoise.tv_wiener(model, params, Eft_hi, y, noise_var=1e-8)
+    # interior samples reconstruct the input through the COLA chain
+    err = jnp.max(jnp.abs(out_hi[512:-512] - y[512:-512]))
+    assert float(err) < 1e-3, float(err)
+    # zero envelopes (softplus(-30) ~ 0): G ~ 0 -> output suppressed
+    Eft_lo = jnp.concatenate(
+        [jnp.zeros((T, D)), jnp.full((T, N), -30.0)], axis=1
+    )
+    out_lo = denoise.tv_wiener(model, params, Eft_lo, y, noise_var=1.0)
+    assert float(jnp.max(jnp.abs(out_lo[512:-512]))) < 1e-3 * float(
+        jnp.max(jnp.abs(y))
+    )
