@@ -1,0 +1,86 @@
+"""Legacy AR(2) filterbank layer: parameter maps, spectra, LDS assembly,
+sampling, and the coarse-to-fine Whittle fit (ref prob_filterbank/
+fitAR2FB.m family)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsgp_tpu.pretrain import ar2
+
+
+def test_cosfreq_roundtrip_and_marginal_var():
+    """cosfreq -> AR2 -> marginal variance reproduces mVar, and the
+    spectral peak sits at the requested center frequency."""
+    cosCF = jnp.asarray([np.cos(2 * np.pi * 0.1), np.cos(2 * np.pi * 0.27)])
+    cosDF = jnp.asarray([0.03, 0.08])
+    mVar = jnp.asarray([1.5, 0.7])
+    Lam, Var = ar2.cosfreq_to_ar2(cosCF, cosDF, mVar)
+    # stationarity: |lam2| < 1 and the AR polynomial roots inside the circle
+    assert np.all(np.abs(np.asarray(Lam[:, 1])) < 1.0)
+    np.testing.assert_allclose(
+        np.asarray(ar2.ar2_marginal_var(Lam, Var)), np.asarray(mVar),
+        rtol=1e-6,
+    )
+    w = jnp.linspace(1e-3, np.pi - 1e-3, 4096)
+    S = np.asarray(ar2.ar2_component_spectra(Lam, Var, w))
+    peaks = np.asarray(w)[np.argmax(S, axis=0)] / (2 * np.pi)
+    np.testing.assert_allclose(peaks, [0.1, 0.27], atol=0.01)
+    # spectrum integrates to the marginal variance: var = mean_w S over
+    # the two-sided grid = mean over [0, pi) by symmetry
+    var_num = S.mean(axis=0)
+    np.testing.assert_allclose(var_num, np.asarray(mVar), rtol=2e-2)
+
+
+def test_lds_params_stationary_prior():
+    """The companion LDS's stationary covariance equals the P0 the
+    assembly computes from the Yule-Walker autocovariances."""
+    cosCF = jnp.asarray([np.cos(2 * np.pi * 0.15)])
+    cosDF = jnp.asarray([0.05])
+    mVar = jnp.asarray([2.0])
+    Lam, Var = ar2.cosfreq_to_ar2(cosCF, cosDF, mVar)
+    A, Q, C, R, x0, P0 = ar2.ar2_lds_params(Lam, Var, 1e-3)
+    A, Q, P0 = np.asarray(A), np.asarray(Q), np.asarray(P0)
+    # solve P = A P A' + Q by iteration
+    P = np.eye(2)
+    for _ in range(20000):
+        P = A @ P @ A.T + Q
+    np.testing.assert_allclose(P, P0, rtol=1e-4, atol=1e-8)
+    assert C.shape == (1, 2)
+
+
+def test_sample_matches_marginal_var():
+    cosCF = jnp.asarray([np.cos(2 * np.pi * 0.08), np.cos(2 * np.pi * 0.3)])
+    cosDF = jnp.asarray([0.05, 0.05])
+    mVar = jnp.asarray([1.0, 0.5])
+    Lam, Var = ar2.cosfreq_to_ar2(cosCF, cosDF, mVar)
+    y, X = ar2.sample_pfb(jax.random.PRNGKey(0), Lam, Var, T=60000)
+    emp = np.var(np.asarray(X)[5000:], axis=0)
+    np.testing.assert_allclose(emp, np.asarray(mVar), rtol=0.15)
+
+
+def test_fit_recovers_center_frequencies():
+    """Fit a 2-process bank on a signal sampled from known AR(2) params;
+    the coarse-to-fine Whittle fit must recover the center frequencies
+    and roughly the marginal variances."""
+    true_cf = np.asarray([0.07, 0.23])
+    cosCF = jnp.asarray(np.cos(2 * np.pi * true_cf))
+    cosDF = jnp.asarray([0.02, 0.04])
+    mVar = jnp.asarray([1.0, 0.8])
+    Lam, Var = ar2.cosfreq_to_ar2(cosCF, cosDF, mVar)
+    y, _ = ar2.sample_pfb(jax.random.PRNGKey(1), Lam, Var, T=30000,
+                          vary=1e-3)
+    fit = ar2.fit_ar2fb(y, D=2, num_levels=2, steps_per_level=250)
+    got_cf = np.sort(np.arccos(np.asarray(fit.cosCF)) / (2 * np.pi))
+    np.testing.assert_allclose(got_cf, np.sort(true_cf), atol=0.01)
+    assert float(jnp.sum(fit.mVar)) > 0.3 * float(jnp.var(y))
+    # fitted bank reproduces the signal's Welch spectrum shape: the model
+    # spectrum correlates strongly with the periodogram in log space
+    from nsgp_tpu.pretrain.spectral import welch
+
+    w, spec = welch(y, 512)
+    S = np.asarray(
+        jnp.sum(ar2.ar2_component_spectra(fit.Lam, fit.Var, w[1:]), -1)
+    )
+    c = np.corrcoef(np.log(S + 1e-9), np.log(np.asarray(spec[1:]) + 1e-9))[0, 1]
+    assert c > 0.8, c
