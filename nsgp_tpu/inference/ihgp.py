@@ -25,6 +25,17 @@ TPU-first departures from the reference:
 Covariances are never propagated: marginal variances come from the tables
 (filter: steady predictive/filtered; smoother: steady PS), exactly like the
 reference's constant-variance outputs (ihgp_ep_modulator_nmf.m:492).
+
+Multi-sweep damping (round-4 analysis, see ROUND4_NOTES.md): the re-site
+cavity uses the steady smoothed variance, which under-estimates the true
+variance near transitions, so converged sites inflate the cavity mean
+mu/var and with it the subband posterior means (~25% measured on music) —
+an approximation error inherited from the reference.  The reference
+mitigates by damping 20-sweep runs at a flat 0.0025
+(missing_data_music.m:25), which leaves the sites ~5% converged and scores
+below its own 1-sweep run; a (0.1 ADF, 0.025 re-site) schedule — pass
+``damping=(0.1, 0.025)`` — is stable (0.5 diverges) and tracks full EP on
+17/20 speech and 16/20 music file-kernel combos of the reference grid.
 """
 
 from __future__ import annotations
