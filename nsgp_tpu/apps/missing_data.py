@@ -8,6 +8,7 @@ gaps from the posterior, report RMSE over gaps and SNR.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Sequence
 
 import jax
@@ -67,6 +68,49 @@ class GapFillResult(NamedTuple):
     rmse_gaps: jax.Array  # () RMSE inside the gaps
     snr_gaps: jax.Array  # () SNR (dB) inside the gaps
     result: object  # underlying engine result
+
+
+def fill_gaps_batch(
+    model: GTNMFModel,
+    paramsB: GTNMFParams,  # leaves with leading (BF,) file axis
+    y_trueB: jax.Array,  # (BF, T) clean signals
+    maskB: jax.Array,  # (BF, T) True = observed
+    engine: str = "ep",
+    key: jax.Array | None = None,
+    n_samples: int = 20,
+    metric_gapsB: jax.Array | None = None,
+    **engine_kwargs,
+) -> GapFillResult:
+    """Batched fill_gaps: BF files through one compiled inference program
+    (see nsgp_tpu.inference.batched).  Returns per-file metric arrays (BF,).
+
+    Replaces the reference's serial corpus loop (missing_data_music.m:43-133)
+    with one batched pass per (engine, config) — the chip-utilization fix
+    for corpus grids (VERDICT r4 next-item 1)."""
+    from nsgp_tpu.inference import batched as bt
+
+    y_obsB = jnp.where(maskB, y_trueB, jnp.nan)
+    res = bt.infer_batch(engine, model, paramsB, y_obsB, maskB,
+                         **engine_kwargs)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    BF = y_trueB.shape[0]
+    keys = jax.random.split(key, BF)
+    y_hatB = _reconstruct_batch(model, paramsB, res.Eft, res.Varft, keys,
+                                n_samples)
+    gapB = ~maskB if metric_gapsB is None else metric_gapsB
+    rmseB = jax.vmap(metrics.rmse)(y_trueB, y_hatB, gapB)
+    snrB = jax.vmap(metrics.snr_db)(y_trueB, y_hatB, gapB)
+    return GapFillResult(y_hat=y_hatB, rmse_gaps=rmseB, snr_gaps=snrB,
+                         result=res)
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def _reconstruct_batch(model, paramsB, EftB, VarftB, keys, n_samples):
+    return jax.vmap(
+        lambda p, e, v, k: reconstruct_signal(model, p, e, v, k, n_samples)
+    )(paramsB, EftB, VarftB, keys)
 
 
 def fill_gaps(

@@ -54,6 +54,11 @@ def run_file(
     # Wiener baseline from the trained artifact's own stationary fit
     # (no refit — ADVICE r3); the no-modulator counterpart of GT-NMF.
     wfit = tm.fit
+    if wfit is None:
+        raise ValueError(
+            f"{name} artifact predates the stored stage-1 fit — re-run "
+            "nsgp_tpu.experiments.train_corpus for this file"
+        )
     w_len = wfit.lengthscales(kernel1)
     w_noise = float(jnp.maximum(wfit.noise, 1e-6))
 

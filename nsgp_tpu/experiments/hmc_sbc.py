@@ -138,6 +138,11 @@ def _run_one_subprocess(seed, T, itts, n_chains, n_samples, thin, leap):
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"SBC worker (seed={seed}) failed rc={out.returncode}; "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     d = json.loads(line)
     return (d["names"], d["ranks"], d["in90"], d["L"],

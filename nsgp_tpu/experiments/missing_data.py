@@ -152,9 +152,11 @@ def run_file(
                     "seconds_cold": round(times[0], 3) if fresh else None,
                     "seconds_warm": round(times[-1], 3),
                 })
-            except Exception as e:  # TPU worker crash / transient runtime
-                # fault: record the failed row so the file completes and a
-                # resumed run can fill it in, then let the caller decide
+            except (jax.errors.JaxRuntimeError, OSError, TimeoutError) as e:
+                # TPU worker crash / transient runtime fault only (ADVICE r4:
+                # programming errors must propagate, not become NaN rows):
+                # record the failed row so the file completes and a resumed
+                # run can fill it in, then let the caller decide
                 rows.append({
                     "engine": eng, "ep_itts": itts,
                     "rmse_gaps": float("nan"),
@@ -168,6 +170,142 @@ def run_file(
     return {"file": name, "T": T, "pad_T": Tp, "D": tm.model.D,
             "N": tm.model.N, "kernel1": kernel1,
             "w_lik": protocol.W_LIK_MISSING, "rows": rows}
+
+
+# Per-engine file-batch cap: GIEKF stores dense (T, m, m) trajectories per
+# file (~1.2 GB at music scale), so its batch is memory-bounded; the
+# lane-batched EP kernels and the means-only IHGP path take whole corpora.
+BATCH_CAP = {"ep": 16, "ihgp": 16, "ihgp_ref": 16, "giekf": 4}
+
+
+def run_batched(corpus="music", files=None, kernels=("exp",),
+                engines=("ep", "ihgp"), ep_itts=(1, 20), n_samples=200,
+                engine_extra=None):
+    """Batched grid: one inference program per (kernel, engine, itts) over
+    all corpus files at once (nsgp_tpu.inference.batched), replacing the
+    reference's serial file loop (missing_data_music.m:43-133).
+
+    Emits the same JSON schema as run(); per-row ``seconds_warm`` is the
+    warm batch wall-clock divided by the batch size (per-file share) and
+    ``batch_size``/``batch_seconds_warm`` record the batch-level numbers.
+    """
+    from nsgp_tpu.inference import batched as bt
+
+    files = tuple(files) if files else protocol.CORPUS_FILES[corpus]
+    pad_T = _pad_len(corpus, files)
+    out = {"experiment": f"missing_data_{corpus}",
+           "protocol": "reference (whole y_norm @16kHz, 6x321-sample gaps)",
+           "gap_samples": 2 * protocol.GAP_HALF + 1,
+           "mode": "batched", "files": []}
+    t_grid = time.perf_counter()
+    per_file_rows = {name: {} for name in files}
+    meta = {}
+    for kernel in kernels:
+        # Load all artifacts once per kernel arm.
+        tms, ys, masks, gaps = [], [], [], []
+        for name in files:
+            tm, y_norm = train_corpus.load_corpus_model(corpus, name, kernel)
+            T = len(y_norm)
+            mask_np = protocol.reference_gap_mask(name, T)
+            y = np.zeros((pad_T,))
+            y[:T] = y_norm
+            m = np.zeros((pad_T,), bool)
+            m[:T] = mask_np
+            g = np.zeros((pad_T,), bool)
+            g[:T] = ~mask_np
+            tms.append(tm)
+            ys.append(y)
+            masks.append(m)
+            gaps.append(g)
+            meta[(name, kernel)] = {"T": T, "D": tm.model.D, "N": tm.model.N}
+        model = tms[0].model
+        lik_dt = jnp.asarray(tms[0].params.lik).dtype
+        paramsB_all = bt.stack_params([
+            tm.params._replace(lik=jnp.asarray(protocol.W_LIK_MISSING, lik_dt))
+            for tm in tms
+        ])
+        yB_all = jnp.asarray(np.stack(ys))
+        maskB_all = jnp.asarray(np.stack(masks))
+        gapsB_all = jnp.asarray(np.stack(gaps))
+
+        for eng in engines:
+            cap = BATCH_CAP.get(eng, 8)
+            for itts in ep_itts:
+                ek = engine_config(eng, itts, engine_extra)
+                starts = list(range(0, len(files), cap))
+                times, rows_eng = [], {}
+                try:
+                    for s in starts:
+                        sl = slice(s, min(s + cap, len(files)))
+                        pB = jax.tree.map(lambda x: x[sl], paramsB_all)
+                        nrep = 2 if s == 0 else 1  # cold (compile) + warm
+                        for _ in range(nrep):
+                            t0 = time.perf_counter()
+                            r = md.fill_gaps_batch(
+                                model, pB, yB_all[sl], maskB_all[sl],
+                                engine=eng.split("_")[0],
+                                n_samples=n_samples,
+                                metric_gapsB=gapsB_all[sl], **ek)
+                            jax.block_until_ready(r.y_hat)
+                            times.append(time.perf_counter() - t0)
+                        bsz = sl.stop - sl.start
+                        for i, name in enumerate(files[sl]):
+                            rows_eng[name] = {
+                                "engine": eng, "ep_itts": itts,
+                                "rmse_gaps": float(r.rmse_gaps[i]),
+                                "snr_gaps_db": float(r.snr_gaps[i]),
+                                "seconds_cold": (round(times[0], 3)
+                                                 if s == 0 else None),
+                                "seconds_warm": round(times[-1] / bsz, 4),
+                                "batch_size": bsz,
+                                "batch_seconds_warm": round(times[-1], 3),
+                            }
+                except (jax.errors.JaxRuntimeError, OSError, TimeoutError) as e:
+                    for name in files:
+                        rows_eng.setdefault(name, {
+                            "engine": eng, "ep_itts": itts,
+                            "rmse_gaps": float("nan"),
+                            "snr_gaps_db": float("nan"),
+                            "seconds_cold": None, "seconds_warm": None,
+                            "error": f"{type(e).__name__}: {e}"[:300],
+                        })
+                for name in files:
+                    per_file_rows[name].setdefault(kernel, []).append(
+                        rows_eng[name])
+                    print({"file": name, "kernel": kernel, **rows_eng[name]},
+                          file=sys.stderr, flush=True)
+    for name in files:
+        for kernel in kernels:
+            out["files"].append({
+                "file": name, "kernel1": kernel, "pad_T": pad_T,
+                "w_lik": protocol.W_LIK_MISSING,
+                **meta[(name, kernel)],
+                "rows": per_file_rows[name][kernel],
+            })
+    out["grid_wall_seconds"] = round(time.perf_counter() - t_grid, 1)
+    _aggregate(out)
+    return out
+
+
+def _aggregate(out):
+    """Per-arm corpus aggregate (ref missing_data_music_results.m:26-37:
+    per-file SNR floored at 0 before the mean)."""
+    agg = {}
+    for f in out["files"]:
+        for row in f["rows"]:
+            key = f"{f['kernel1']}_{row['engine']}_itts{row['ep_itts']}"
+            bad = not (np.isfinite(row["snr_gaps_db"])
+                       and np.isfinite(row["rmse_gaps"]))
+            agg.setdefault(key, []).append(
+                (np.nan, np.nan) if bad
+                else (max(row["snr_gaps_db"], 0.0), row["rmse_gaps"])
+            )
+    out["aggregate"] = {
+        k: {"mean_snr_gaps_db": float(np.nanmean([a for a, _ in v])),
+            "mean_rmse_gaps": float(np.nanmean([b for _, b in v])),
+            "n_nonfinite": int(sum(np.isnan(a) for a, _ in v))}
+        for k, v in agg.items()
+    }
 
 
 def run(corpus="music", files=None, kernels=("exp",), engines=("ep", "ihgp"),
@@ -203,22 +341,7 @@ def run(corpus="music", files=None, kernels=("exp",), engines=("ep", "ihgp"),
     # Aggregation (ref missing_data_music_results.m:26-37): per-file SNR
     # floored at 0 before the mean.  A row counts as non-finite if EITHER
     # metric is non-finite (ADVICE r3) — excluded via nanmean + counted.
-    agg = {}
-    for f in out["files"]:
-        for row in f["rows"]:
-            key = f"{f['kernel1']}_{row['engine']}_itts{row['ep_itts']}"
-            bad = not (np.isfinite(row["snr_gaps_db"])
-                       and np.isfinite(row["rmse_gaps"]))
-            agg.setdefault(key, []).append(
-                (np.nan, np.nan) if bad
-                else (max(row["snr_gaps_db"], 0.0), row["rmse_gaps"])
-            )
-    out["aggregate"] = {
-        k: {"mean_snr_gaps_db": float(np.nanmean([a for a, _ in v])),
-            "mean_rmse_gaps": float(np.nanmean([b for _, b in v])),
-            "n_nonfinite": int(sum(np.isnan(a) for a, _ in v))}
-        for k, v in agg.items()
-    }
+    _aggregate(out)
     return out
 
 
@@ -245,20 +368,29 @@ def main():
     ap.add_argument("--n-samples", type=int, default=200)
     ap.add_argument("--resume", action="store_true",
                     help="reuse error-free (file, kernel) entries from the "
-                         "existing --out file; rerun the rest")
+                         "existing --out file; rerun the rest (serial mode)")
+    ap.add_argument("--serial", action="store_true",
+                    help="per-file serial grid (round-4 behavior) instead "
+                         "of the batched multi-file default")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.out is None:
         args.out = f"results/missing_data_{args.corpus}.json"
     _setup_backend(args.device)
-    prior = None
-    if args.resume and os.path.exists(args.out):
-        with open(args.out) as f:
-            prior = json.load(f)
-    res = run(corpus=args.corpus, files=args.files,
-              kernels=tuple(args.kernels), engines=tuple(args.engines),
-              ep_itts=tuple(args.itts), n_samples=args.n_samples,
-              prior=prior)
+    if args.serial:
+        prior = None
+        if args.resume and os.path.exists(args.out):
+            with open(args.out) as f:
+                prior = json.load(f)
+        res = run(corpus=args.corpus, files=args.files,
+                  kernels=tuple(args.kernels), engines=tuple(args.engines),
+                  ep_itts=tuple(args.itts), n_samples=args.n_samples,
+                  prior=prior)
+    else:
+        res = run_batched(corpus=args.corpus, files=args.files,
+                          kernels=tuple(args.kernels),
+                          engines=tuple(args.engines),
+                          ep_itts=tuple(args.itts), n_samples=args.n_samples)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)

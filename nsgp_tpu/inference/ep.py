@@ -58,6 +58,8 @@ class EPConfig(NamedTuple):
     # forward/backward passes (sweeps >= 2) as fused VMEM-resident kernels
     # (ops/pallas_kalman.py) — one kernel per pass instead of T scan steps
     pallas_block: int = 256  # time-block length of the fused kernels
+    s_chunk: int = 0  # sigma-point chunk for the fused ADF kernel's online
+    # max-rescaled accumulation (batched/mixture path); 0 = single chunk
     channel_axis: str = ""  # mesh axis name to shard the channel dim over
     # (requires an ambient mesh via jax.sharding.set_mesh; see
     # nsgp_tpu.parallel.mesh.shard_inference_over_channels)

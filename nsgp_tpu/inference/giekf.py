@@ -177,15 +177,16 @@ def _filter(model, W, sn2, A, Q, Hd, y, mask, m0, P0, cfg, l_iter):
             & jnp.all(jnp.isfinite(P_upd))
         )
         obs_eff = obs_k & upd_ok
+        rejected = obs_k & ~upd_ok
         mx = jnp.where(obs_eff, M, mx)
         P = jnp.where(obs_eff, P_upd, P)
         nll_k = jnp.where(obs_eff, nll_k, 0.0)
-        return (mx, P, jnp.zeros_like(first)), (mx, P, nll_k)
+        return (mx, P, jnp.zeros_like(first)), (mx, P, nll_k, rejected)
 
-    (mT, PT, _), (ms, Ps, nll) = jax.lax.scan(
+    (mT, PT, _), (ms, Ps, nll, rejected) = jax.lax.scan(
         step, (m0, P0, jnp.asarray(True)), (y, mask)
     )
-    return ms, Ps, jnp.sum(nll)
+    return ms, Ps, jnp.sum(nll), jnp.sum(rejected)
 
 
 def _rts_dense(A, Q, ms, Ps, jitter):
@@ -225,7 +226,7 @@ def _giekf_pass(
     """One global pass: (I)EKF filter + dense RTS smoother."""
     ssm = model.build_ssm(params)
     A, Q, _, Hd = dense_model(ssm)
-    msf, Psf, nll = _filter(
+    msf, Psf, nll, _ = _filter(
         model, params.W, params.lik, A, Q, Hd, y, mask, m0, P0, config,
         config.l_iter,
     )
@@ -314,7 +315,13 @@ def giekf_energy(
     # the predicted mean per step, gf_giekf_modulator_nmf.m:373-430), hence
     # l_iter = 1 here regardless of the prediction-mode setting.
     m0 = jnp.zeros((A.shape[0],), A.dtype)
-    _, _, nll = _filter(
+    _, _, nll, n_rejected = _filter(
         model, params.W, params.lik, A, Q, Hd, y, mask, m0, Pinf, config, 1
     )
-    return nll
+    # Reference energy semantics (gf_giekf_modulator_nmf.m:382-391): a
+    # non-PSD innovation covariance makes the energy NaN, rejecting the
+    # hyperparameter point outright.  The in-scan rejection guard above keeps
+    # *prediction* finite, but silently dropping rejected steps from the
+    # energy sum would understate it and attract learn/HMC toward pathological
+    # hyper regions — so energy mode reinstates the NaN.
+    return jnp.where(n_rejected > 0, jnp.nan, nll)

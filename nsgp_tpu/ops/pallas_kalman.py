@@ -338,6 +338,284 @@ def _adf_kernel(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
     jax.lax.fori_loop(0, B, body, 0)
 
 
+def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
+                   H_ref, Wbd_ref, xi_ref, wn_ref, sn2_ref,
+                   selD_ref, exD_ref, exN_ref, exC_ref,
+                   ms_ref, Ps_ref, lZ_ref, tto_ref, tno_ref, m_s, P_s,
+                   *, bs, B, BF, D, N, S, s_chunk, damp, link, variant,
+                   z_floor=_ZFLOOR):
+    """Multi-file / chunked-cubature ADF forward sweep (EP sweep 1).
+
+    Generalizes _adf_kernel two ways (one kernel serves both):
+
+    1. **File batching on lanes**: BF signals share the sequential recursion,
+       with BF*C channels on the lane axis in z-major layout
+       ``[z(file 0, d=0..D-1), ..., z(BF-1) | g(0), ..., g(BF-1)]``.  The
+       filter algebra is elementwise over lanes (unchanged); the per-file
+       moment reductions over D/N become tiny matmuls with 0/1
+       selector (selD: (BF*D, BF)) / expander (exD/exN/exC: (BF, ...))
+       matrices.  This fills the VPU lanes the single-file path leaves idle
+       (C = 19 of 128) — the structural fix for serial corpus grids.
+    2. **Sigma-point chunking**: the S-axis is processed in ``s_chunk`` rows
+       at a time with online max-rescaled accumulators (flash-attention
+       style), so mixture models with N = 9 cubature (thousands of sigma
+       points, ref gf_ep_mods_nmf_mixture.m) never materialize (S, D)
+       tensors beyond one chunk in VMEM.  Negative ut7/ut9 weights are fine:
+       the running shift tracks max log-density, and every output is a
+       shift-invariant ratio (see ops/moments.py).
+
+    Semantics per (file, step) are identical to _adf_kernel / ops.moments
+    (raw-scale Z floor, damped clamped sites, branch-free update).
+    """
+    BC = ttau_ref.shape[1]  # BF * (D + N)
+    BD, BN = BF * D, BF * N
+    nSc = -(-S // s_chunk)
+    dt_ = ttau_ref.dtype
+    f32 = jnp.float32 if dt_ == jnp.float32 else dt_
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        m_s[:] = jnp.zeros((bs, BC), ms_ref.dtype)
+        P_s[:] = Pi_ref[:]
+
+    A = _mat(A_ref, bs)
+    Q = _mat(Q_ref, bs)
+    H = _rows(H_ref, bs)
+    Wbd = Wbd_ref[:]  # (BN, BD) block-diagonal stacked W'
+    selD = selD_ref[:]  # (BD, BF)
+    exD = exD_ref[:]  # (BF, BD)
+    exN = exN_ref[:]  # (BF, BN)
+    exC = exC_ref[:]  # (BF, BC)
+    sn2 = sn2_ref[:]  # (1, BF)
+    dot = functools.partial(jax.lax.dot, preferred_element_type=f32)
+
+    def body(j, _):
+        tt = ttau_ref[pl.ds(j, 1), :]
+        tn = tnu_ref[pl.ds(j, 1), :]
+        y_k = y_ref[pl.ds(j, 1), :]  # (1, BF)
+        obs = obs_ref[pl.ds(j, 1), :]  # (1, BF) 0/1
+        m = _rows(m_s, bs)
+        P = _mat(P_s, bs)
+        mp = _matvec(A, m, bs)
+        AP = _matmul(A, P, bs)
+        Pp = _matmul_t(AP, A, bs)
+        Pp = [[Pp[i][k] + Q[i][k] for k in range(bs)] for i in range(bs)]
+        fmu = sum(H[i] * mp[i] for i in range(bs))  # (1, BC)
+        PH = [sum(Pp[i][k] * H[k] for k in range(bs)) for i in range(bs)]
+        HPH = sum(H[i] * PH[i] for i in range(bs))  # (1, BC)
+
+        # ---- cubature moments, chunked over sigma points -----------------
+        mu_z, mu_g = fmu[:, :BD], fmu[:, BD:]
+        s2_z, s2_g = HPH[:, :BD], HPH[:, BD:]
+        sd_g = jnp.sqrt(jnp.maximum(s2_g, 0.0))
+        inv_s2g = 1.0 / s2_g
+
+        def chunk_contrib(c, m_shift):
+            """Moment sums for sigma rows [c*s_chunk, (c+1)*s_chunk) at
+            log-shift m_shift (1, BF).  Returns (Z, A1, A2, G1, G2, mc)."""
+            xi_c = xi_ref[pl.ds(c * s_chunk, s_chunk), :]  # (sc, BN)
+            wn_c = wn_ref[pl.ds(c * s_chunk, s_chunk), :]  # (sc, 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (s_chunk, 1), 0)
+            valid = (c * s_chunk + row) < S
+            xn = mu_g + sd_g * xi_c  # (sc, BN)
+            lk = jax.nn.softplus(xn) if link == "softplus" else jnp.exp(xn)
+            a = dot(lk, Wbd)  # (sc, BD)
+            if variant == "sq":
+                a = jnp.sqrt(jnp.maximum(a, 1e-12))
+            s2e = dot(a * a * s2_z, selD) + sn2  # (sc, BF)
+            mean = dot(a * mu_z, selD)
+            resid = y_k - mean  # (sc, BF)
+            log_norm = -0.5 * (resid * resid / s2e + jnp.log(s2e) + _LOG2PI)
+            log_norm = jnp.where(valid, log_norm, -jnp.inf)
+            mc = jnp.max(log_norm, axis=0, keepdims=True)  # (1, BF)
+            mc = jnp.where(jnp.isfinite(mc), mc, 0.0)
+            m_new = jnp.maximum(m_shift, mc)
+            norm = jnp.where(valid, jnp.exp(log_norm - m_new), 0.0)
+            wns = wn_c * norm  # (sc, BF)
+            rs = resid / s2e
+            wns_d = dot(wns, exD)  # (sc, BD)
+            rs_d = dot(rs, exD)
+            inv_s2e_d = dot(1.0 / s2e, exD)
+            dmu_g = (xn - mu_g) * inv_s2g  # (sc, BN)
+            wns_n = dot(wns, exN)
+            Z = jnp.sum(wns, axis=0, keepdims=True)  # (1, BF)
+            A1 = jnp.sum(wns_d * rs_d * a, axis=0, keepdims=True)  # (1, BD)
+            A2 = jnp.sum(wns_d * (a * a) * (rs_d * rs_d - inv_s2e_d),
+                         axis=0, keepdims=True)
+            G1 = jnp.sum(wns_n * dmu_g, axis=0, keepdims=True)  # (1, BN)
+            G2 = jnp.sum(wns_n * (dmu_g * dmu_g - inv_s2g), axis=0,
+                         keepdims=True)
+            return Z, A1, A2, G1, G2, m_new
+
+        Z, A1, A2, G1, G2, m_run = chunk_contrib(0, jnp.full((1, BF), -jnp.inf, dt_))
+        if nSc > 1:
+            def schunk_body(c, acc):
+                Z, A1, A2, G1, G2, m_run = acc
+                Zc, A1c, A2c, G1c, G2c, m_new = chunk_contrib(c, m_run)
+                al = jnp.exp(m_run - m_new)  # (1, BF) rescale of old sums
+                al_d = dot(al, exD)
+                al_n = dot(al, exN)
+                return (Z * al + Zc, A1 * al_d + A1c, A2 * al_d + A2c,
+                        G1 * al_n + G1c, G2 * al_n + G2c, m_new)
+
+            Z, A1, A2, G1, G2, m_run = jax.lax.fori_loop(
+                1, nSc, schunk_body, (Z, A1, A2, G1, G2, m_run)
+            )
+
+        Z0 = jnp.maximum(Z, jnp.finfo(dt_).tiny)
+        lZ_raw = m_run + jnp.log(Z0)  # (1, BF)
+        lZk = jnp.maximum(lZ_raw, jnp.log(jnp.asarray(z_floor, dt_)))
+        Zi = jnp.exp(lZ_raw - lZk) / Z0  # (1, BF)
+        Zi_d = dot(Zi, exD)
+        Zi_n = dot(Zi, exN)
+        dlZ_z = Zi_d * A1  # (1, BD)
+        dlZ_g = Zi_n * G1
+        d2_z = Zi_d * A2 - dlZ_z * dlZ_z
+        d2_g = Zi_n * G2 - dlZ_g * dlZ_g
+        dlZ = jnp.concatenate([dlZ_z, dlZ_g], axis=1)  # (1, BC)
+        d2lZ = jnp.concatenate([d2_z, d2_g], axis=1)
+
+        # ---- damped ADF site update (per lane; obs broadcast per file) ----
+        obs_c = dot(obs, exC)  # (1, BC)
+        denom = 1.0 + d2lZ * HPH
+        tt_new = (1.0 - damp) * tt + damp * (-d2lZ / denom)
+        tn_new = (1.0 - damp) * tn + damp * ((dlZ - fmu * d2lZ) / denom)
+        tt_new = jnp.maximum(tt_new, 0.0)
+        tt_new = jnp.where(obs_c > 0, tt_new, jnp.maximum(tt, 0.0))
+        tn_new = jnp.where(obs_c > 0, tn_new, tn)
+        lZ_out = jnp.where(obs > 0, lZk, 0.0)  # (1, BF)
+        tt_eff = jnp.where(obs_c > 0, tt_new, 0.0)
+        tn_eff = jnp.where(obs_c > 0, tn_new, 0.0)
+
+        z = tt_eff * HPH + 1.0
+        v = (tt_eff * fmu - tn_eff) / z
+        w = tt_eff / z
+        for i in range(bs):
+            m_s[i : i + 1, :] = mp[i] - PH[i] * v
+        for i in range(bs):
+            for k in range(bs):
+                P_s[i * bs + k : i * bs + k + 1, :] = Pp[i][k] - w * PH[i] * PH[k]
+        for i in range(bs):
+            ms_ref[pl.ds(j * bs + i, 1), :] = m_s[i : i + 1, :]
+        for i in range(bs * bs):
+            Ps_ref[pl.ds(j * bs * bs + i, 1), :] = P_s[i : i + 1, :]
+        lZ_ref[pl.ds(j, 1), :] = lZ_out
+        tto_ref[pl.ds(j, 1), :] = tt_new
+        tno_ref[pl.ds(j, 1), :] = tn_new
+        return 0
+
+    jax.lax.fori_loop(0, B, body, 0)
+
+
+def file_selectors(BF: int, D: int, N: int, dtype=jnp.float32):
+    """0/1 selector/expander matrices for per-file segment reductions in the
+    z-major lane layout (see _adf_kernel_mb).  selD (BF*D, BF) sums a file's
+    D columns; exD/exN/exC broadcast a per-file value back to its lanes."""
+    import numpy as np
+
+    selD = np.kron(np.eye(BF), np.ones((D, 1)))
+    exN = np.kron(np.eye(BF), np.ones((1, N)))
+    exC = np.concatenate([np.kron(np.eye(BF), np.ones((1, D))), exN], axis=1)
+    return (jnp.asarray(selD, dtype), jnp.asarray(selD.T, dtype),
+            jnp.asarray(exN, dtype), jnp.asarray(exC, dtype))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
+def adf_filter_pallas_mb(
+    mp,  # ops.moments.MomentParams (hashable static)
+    ssm_flat: BlockSSM,  # BF*C channels, z-major file layout
+    Wbd_T: jax.Array,  # (BF*N, BF*D) transposed block-diag NMF weights
+    sn2_vec,  # (BF,) per-file observation noise
+    yB: jax.Array,  # (T, BF)
+    maskB: jax.Array,  # (T, BF) bool
+    n_files: int,
+    damp: float,
+    block: int = 256,
+    s_chunk: int = 0,  # 0 = all sigma points in one chunk
+    interpret: bool = False,
+):
+    """Batched fused ADF sweep over BF files (see _adf_kernel_mb).
+
+    The model constants must already be in the flat z-major channel layout
+    (nsgp_tpu.inference.batched.flatten_ssm_zmajor).  Returns b-major padded
+    trajectories + per-file lZ (T, BF) + Sites (T, BF*C)."""
+    from nsgp_tpu.ops.moments import sigma_points
+
+    BC, bs = ssm_flat.H.shape
+    BF = n_files
+    D, N = mp.D, mp.N
+    dt_ = ssm_flat.A.dtype
+    T = yB.shape[0]
+    wn, xi = sigma_points(mp)  # (S,), (S, N)
+    S = wn.shape[0]
+    sc = s_chunk if s_chunk else S
+    nSc = -(-S // sc)
+    Sp = nSc * sc
+    xiB = jnp.tile(xi, (1, BF))  # (S, BF*N)
+    xiB = jnp.pad(xiB, ((0, Sp - S), (0, 0)))
+    wnp = jnp.pad(wn, (0, Sp - S)).reshape(-1, 1)
+    selD, exD, exN, exC = file_selectors(BF, D, N, dt_)
+
+    A2, Q2, Pi2, H2, _ = _consts(ssm_flat)
+    sites = Sites(jnp.zeros((T, BC), dt_), jnp.zeros((T, BC), dt_))
+    sites_p, _ = _pad_sites(sites, block)
+    Tp = sites_p.ttau.shape[0]
+    pad = Tp - T
+    yp = jnp.pad(jnp.nan_to_num(yB), ((0, pad), (0, 0))).astype(dt_)
+    maskp = jnp.pad(maskB, ((0, pad), (0, 0))).astype(dt_)
+    nblk = Tp // block
+
+    const_spec = lambda n: pl.BlockSpec((n, BC), lambda i: (0, 0))
+    ms_b, Ps_b, lZ, tto, tno = pl.pallas_call(
+        functools.partial(
+            _adf_kernel_mb, bs=bs, B=block, BF=BF, D=D, N=N, S=S, s_chunk=sc,
+            damp=damp, link=mp.link, variant=mp.variant, z_floor=mp.z_floor,
+        ),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((block, BF), lambda i: (i, 0)),
+            pl.BlockSpec((block, BF), lambda i: (i, 0)),
+            pl.BlockSpec((block, BC), lambda i: (i, 0)),
+            pl.BlockSpec((block, BC), lambda i: (i, 0)),
+            const_spec(bs * bs), const_spec(bs * bs), const_spec(bs * bs),
+            const_spec(bs),
+            pl.BlockSpec((BF * N, BF * D), lambda i: (0, 0)),
+            pl.BlockSpec((Sp, BF * N), lambda i: (0, 0)),
+            pl.BlockSpec((Sp, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, BF), lambda i: (0, 0)),
+            pl.BlockSpec((BF * D, BF), lambda i: (0, 0)),
+            pl.BlockSpec((BF, BF * D), lambda i: (0, 0)),
+            pl.BlockSpec((BF, BF * N), lambda i: (0, 0)),
+            pl.BlockSpec((BF, BC), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block * bs, BC), lambda i: (i, 0)),
+            pl.BlockSpec((block * bs * bs, BC), lambda i: (i, 0)),
+            pl.BlockSpec((block, BF), lambda i: (i, 0)),
+            pl.BlockSpec((block, BC), lambda i: (i, 0)),
+            pl.BlockSpec((block, BC), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp * bs, BC), dt_),
+            jax.ShapeDtypeStruct((Tp * bs * bs, BC), dt_),
+            jax.ShapeDtypeStruct((Tp, BF), dt_),
+            jax.ShapeDtypeStruct((Tp, BC), dt_),
+            jax.ShapeDtypeStruct((Tp, BC), dt_),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, BC), dt_),
+            pltpu.VMEM((bs * bs, BC), dt_),
+        ],
+        interpret=interpret,
+    )(
+        yp, maskp, sites_p.ttau, sites_p.tnu, A2, Q2, Pi2, H2,
+        Wbd_T.astype(dt_), xiB.astype(dt_), wnp.astype(dt_),
+        jnp.asarray(sn2_vec, dt_).reshape(1, BF),
+        selD, exD, exN, exC,
+    )
+    return ms_b, Ps_b, lZ[:T], Sites(tto[:T], tno[:T])
+
+
 def _pad_sites(sites: Sites, B: int):
     T = sites.ttau.shape[0]
     pad = (-T) % B

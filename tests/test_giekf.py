@@ -95,6 +95,40 @@ def test_giekf_energy_autodiff():
     np.testing.assert_allclose(float(grads.lik), fd, rtol=1e-4)
 
 
+def test_giekf_energy_nan_on_rejected_steps():
+    """Energy mode keeps reference semantics (gf_giekf_modulator_nmf.m:382-391):
+    if any observed step is rejected by the divergence guard, the energy is
+    NaN so the optimizer rejects the hyperparameter point, instead of a
+    silently understated finite sum."""
+    model, params = _toy(D=6, N=3)
+    params = params._replace(
+        lik=jnp.asarray(1e-12), W=100.0 * params.W,
+        mod_var=jnp.full((3,), 8.0),
+    )
+    y, _, _ = sample_prior(jax.random.PRNGKey(11), model, params, T=1500)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    params32 = jax.tree.map(f32, params)
+    e = giekf.giekf_energy(model, params32, f32(100.0 * y), None,
+                           giekf.GIEKFConfig())
+    # prediction mode must remain finite on the same config (guard active)
+    res = giekf.giekf_infer(model, params32, f32(100.0 * y), None,
+                            giekf.GIEKFConfig(g_iter=2, l_iter=1))
+    assert bool(jnp.all(jnp.isfinite(res.Eft)))
+    # energy: either the config rejects steps -> NaN, or no rejection -> the
+    # value must be finite; assert the coupling, not a specific trigger
+    ssm = model.build_ssm(params32)
+    A, Q, Pinf, Hd = giekf.dense_model(ssm)
+    m0 = jnp.zeros((A.shape[0],), A.dtype)
+    _, _, _, n_rej = giekf._filter(
+        model, params32.W, params32.lik, A, Q, Hd, f32(100.0 * y),
+        jnp.ones_like(y, bool), m0, Pinf, giekf.GIEKFConfig(), 1,
+    )
+    if int(n_rej) > 0:
+        assert np.isnan(float(e))
+    else:
+        assert np.isfinite(float(e))
+
+
 def test_giekf_f32_divergence_guard():
     """Hard config at 20 global f32 passes must stay finite (VERDICT r3
     weak #3): bad updates are rejected in-scan and a non-finite pass falls
