@@ -174,8 +174,9 @@ def run_file(
 
 # Per-engine file-batch cap: GIEKF stores dense (T, m, m) trajectories per
 # file (~1.2 GB at music scale), so its batch is memory-bounded; the
-# lane-batched EP kernels and the means-only IHGP path take whole corpora.
-BATCH_CAP = {"ep": 16, "ihgp": 16, "ihgp_ref": 16, "giekf": 4}
+# lane-batched EP kernels need BF*(D+N) <= 128 lanes (6 files at D=16,N=3);
+# the means-only IHGP path takes whole corpora.
+BATCH_CAP = {"ep": 6, "ihgp": 16, "ihgp_ref": 16, "giekf": 4}
 
 
 def run_batched(corpus="music", files=None, kernels=("exp",),

@@ -93,8 +93,6 @@ class BatchEPResult(NamedTuple):
     sites: Sites  # (BF, T, C)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-@f32_matmuls
 def ep_infer_batch(
     model: GTNMFModel,
     paramsB: GTNMFParams,  # leaves with leading (BF,) file axis
@@ -104,92 +102,122 @@ def ep_infer_batch(
 ) -> BatchEPResult:
     """Power-EP inference over BF files at once (one compile, shared passes).
 
-    backend='pallas' uses the lane-batched fused kernels; other backends
-    vmap the single-file engine.  Semantics per file match ep.ep_infer with
-    the parallel/pallas all-T re-site convention (same EP fixed point).
+    backend='pallas' uses the lane-batched fused kernels with a HOST-LEVEL
+    sweep loop — one jit per sweep, reused ep_itts times.  Fusing the whole
+    multi-sweep batched program into one XLA executable miscompiles on real
+    TPU hardware (measured: a sweep's re-site result changes when a LATER
+    consumer exists in the same program — identical files diverged at sweep
+    3; per-piece execution of the bit-identical graph is clean), and
+    per-sweep executions also keep single-execution runtimes under the
+    TPU-tunnel watchdog (the GIEKF precedent).  Other backends vmap the
+    single-file engine in one fused program (no Pallas calls — unaffected).
+
+    Semantics per file match ep.ep_infer with the parallel/pallas all-T
+    re-site convention (same EP fixed point).
     """
     if maskB is None:
         maskB = ~jnp.isnan(yB)
     yB = jnp.nan_to_num(yB)
     BF, T = yB.shape
-    D, N = model.D, model.N
 
     if config.backend != "pallas":
-        core = ep_mod.ep_infer.__wrapped__  # un-jitted impl
+        return _ep_infer_batch_vmap(model, paramsB, yB, maskB, config)
 
-        def one(p, y, m):
-            r = core(model, p, y, m, config)
-            return BatchEPResult(Eft=r.Eft, Varft=r.Varft, nlZ=r.nlZ,
-                                 maxdiff=r.maxdiff, sites=r.sites)
-
-        return jax.vmap(one)(paramsB, yB, maskB)
-
-    from nsgp_tpu.ops import pallas_kalman
-
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    mp = model.moment_params()
-    ssmB = jax.vmap(lambda p: model.build_ssm(p))(paramsB)
-    ssm_flat = flatten_ssm_zmajor(ssmB, D, N)
-    WbdT = _block_diag_WT(paramsB.W)
-    dt_ = ssm_flat.A.dtype
-
-    nlZ = jnp.zeros((BF, config.ep_itts), dt_)
-    maxdiff = jnp.full((BF, config.ep_itts), jnp.inf, dt_)
-    sites_flat = None
-    mu = var = None
-
-    for itt in range(config.ep_itts):
-        if itt == 0:
-            ms_b, Ps_b, lZ, sites_flat = pallas_kalman.adf_filter_pallas_mb(
-                mp, ssm_flat, WbdT, paramsB.lik, yB.T, maskB.T, BF,
-                config.damp(0), config.pallas_block, config.s_chunk,
-                interpret,
-            )
-            ms, Ps = pallas_kalman.smoother_pallas_bmajor(
-                ssm_flat, ms_b, Ps_b, T, config.pallas_block, interpret
-            )
-            nlZ = nlZ.at[:, 0].set(-jnp.sum(lZ, axis=0))
-        else:
-            ms, Ps = pallas_kalman.filter_smoother_pallas(
-                ssm_flat, sites_flat, config.pallas_block, interpret
-            )
-        mu_f, var_f = kalman.observable_marginals(ssm_flat, ms, Ps)
-        mu_new = _to_per_file(mu_f, BF, D, N)
-        var_new = _to_per_file(var_f, BF, D, N)
-        if itt > 0:
-            md = jnp.maximum(
-                jnp.max(jnp.abs(mu_new - mu), axis=(1, 2)),
-                jnp.max(jnp.abs(var_new - var), axis=(1, 2)),
-            )
-            maxdiff = maxdiff.at[:, itt].set(md)
+    dt_ = yB.dtype
+    mu, var, nlZ0, tt, tn = _adf_smooth_batch(model, paramsB, yB, maskB,
+                                              config)
+    nlZ = [nlZ0]
+    maxdiff = [jnp.full((BF,), jnp.inf, dt_)]
+    for itt in range(1, config.ep_itts):
+        damp = jnp.asarray(config.damp(itt), dt_)
+        tt, tn, lZ_i = _resite_batch(model, paramsB, yB, maskB, mu, var,
+                                     tt, tn, damp, config)
+        nlZ.append(-jnp.sum(lZ_i, axis=1))
+        mu_new, var_new = _pass_batch(model, paramsB, tt, tn, config)
+        maxdiff.append(jnp.maximum(
+            jnp.max(jnp.abs(mu_new - mu), axis=(1, 2)),
+            jnp.max(jnp.abs(var_new - var), axis=(1, 2)),
+        ))
         mu, var = mu_new, var_new
 
-        if itt < config.ep_itts - 1:
-            sites_pf = Sites(
-                _to_per_file(sites_flat.ttau, BF, D, N),
-                _to_per_file(sites_flat.tnu, BF, D, N),
-            )
-            damp_next = config.damp(itt + 1)
+    return BatchEPResult(Eft=mu, Varft=var, nlZ=jnp.stack(nlZ, axis=1),
+                         maxdiff=jnp.stack(maxdiff, axis=1),
+                         sites=Sites(tt, tn))
 
-            def resite_one(p, y, m, mu1, var1, s1):
-                return ep_mod._ep_resite(model, p, config, y, m, mu1, var1,
-                                         s1, damp_next, exclude_last=False)
 
-            sites_pf, lZ_pf = jax.vmap(resite_one)(
-                paramsB, yB, maskB, mu, var, sites_pf
-            )
-            sites_flat = Sites(
-                _to_flat(sites_pf.ttau, BF, D, N),
-                _to_flat(sites_pf.tnu, BF, D, N),
-            )
-            nlZ = nlZ.at[:, itt + 1].set(-jnp.sum(lZ_pf, axis=1))
+@partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
+def _ep_infer_batch_vmap(model, paramsB, yB, maskB, config):
+    core = ep_mod.ep_infer.__wrapped__  # un-jitted impl
 
-    sites_pf = Sites(
-        _to_per_file(sites_flat.ttau, BF, D, N),
-        _to_per_file(sites_flat.tnu, BF, D, N),
+    def one(p, y, m):
+        r = core(model, p, y, m, config)
+        return BatchEPResult(Eft=r.Eft, Varft=r.Varft, nlZ=r.nlZ,
+                             maxdiff=r.maxdiff, sites=r.sites)
+
+    return jax.vmap(one)(paramsB, yB, maskB)
+
+
+def _flat_model(model, paramsB):
+    """(traced) flat z-major SSM + block-diag W' for the fused kernels."""
+    ssmB = jax.vmap(lambda p: model.build_ssm(p))(paramsB)
+    ssm_flat = flatten_ssm_zmajor(ssmB, model.D, model.N)
+    return ssm_flat, _block_diag_WT(paramsB.W)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
+def _adf_smooth_batch(model, paramsB, yB, maskB, config):
+    """Sweep 1: fused ADF filter + smoother + observable marginals."""
+    from nsgp_tpu.ops import pallas_kalman
+
+    BF, T = yB.shape
+    D, N = model.D, model.N
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    ssm_flat, WbdT = _flat_model(model, paramsB)
+    ms_b, Ps_b, lZ, sites_flat = pallas_kalman.adf_filter_pallas_mb(
+        model.moment_params(), ssm_flat, WbdT, paramsB.lik, yB.T, maskB.T,
+        BF, config.damp(0), config.pallas_block, config.s_chunk, interpret,
     )
-    return BatchEPResult(Eft=mu, Varft=var, nlZ=nlZ, maxdiff=maxdiff,
-                         sites=sites_pf)
+    ms, Ps = pallas_kalman.smoother_pallas_bmajor(
+        ssm_flat, ms_b, Ps_b, T, config.pallas_block, interpret
+    )
+    mu_f, var_f = kalman.observable_marginals(ssm_flat, ms, Ps)
+    return (_to_per_file(mu_f, BF, D, N), _to_per_file(var_f, BF, D, N),
+            -jnp.sum(lZ, axis=0),
+            _to_per_file(sites_flat.ttau, BF, D, N),
+            _to_per_file(sites_flat.tnu, BF, D, N))
+
+
+@partial(jax.jit, static_argnums=(0, 9))
+@f32_matmuls
+def _resite_batch(model, paramsB, yB, maskB, mu, var, tt, tn, damp, config):
+    """Vmapped EP re-site at the smoothed cavities (damp traced — one
+    compile across damping schedules)."""
+    def one(p, y, m, mu1, var1, tt1, tn1):
+        s, lZ = ep_mod._ep_resite(model, p, config, y, m, mu1, var1,
+                                  Sites(tt1, tn1), damp, exclude_last=False)
+        return s.ttau, s.tnu, lZ
+
+    return jax.vmap(one)(paramsB, yB, maskB, mu, var, tt, tn)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+@f32_matmuls
+def _pass_batch(model, paramsB, tt, tn, config):
+    """One fixed-site filter+smoother pass + marginals (sweeps >= 2)."""
+    from nsgp_tpu.ops import pallas_kalman
+
+    BF, T = tt.shape[0], tt.shape[1]
+    D, N = model.D, model.N
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    ssm_flat, _ = _flat_model(model, paramsB)
+    sites_flat = Sites(_to_flat(tt, BF, D, N), _to_flat(tn, BF, D, N))
+    ms, Ps = pallas_kalman.filter_smoother_pallas(
+        ssm_flat, sites_flat, config.pallas_block, interpret
+    )
+    mu_f, var_f = kalman.observable_marginals(ssm_flat, ms, Ps)
+    return _to_per_file(mu_f, BF, D, N), _to_per_file(var_f, BF, D, N)
 
 
 def infer_batch(engine: str, model, paramsB, yB, maskB=None, config=None,

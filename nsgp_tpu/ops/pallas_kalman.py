@@ -387,7 +387,32 @@ def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
     exN = exN_ref[:]  # (BF, BN)
     exC = exC_ref[:]  # (BF, BC)
     sn2 = sn2_ref[:]  # (1, BF)
-    dot = functools.partial(jax.lax.dot, preferred_element_type=f32)
+    # In-kernel MXU dots round f32 inputs to bf16 and IGNORE the precision
+    # flag (measured: ~4e-3 rel error, enough to corrupt the residual
+    # y - mean by catastrophic cancellation as sites converge — batched
+    # identical files diverged by sweep 3).  Emulate exact f32 with bf16
+    # split passes: 3 one-sided passes are EXACT when the right operand is
+    # 0/1 (selectors), 6 two-sided passes give ~f32 (5e-7 vs f64, measured)
+    # for the general W matmul.
+    _dot = functools.partial(jax.lax.dot, preferred_element_type=f32)
+
+    def _split3(x):
+        h = jnp.bfloat16(x).astype(f32)
+        m = jnp.bfloat16(x - h).astype(f32)
+        return h, m, x - h - m
+
+    def dot_sel(x, sel):  # sel entries exactly bf16-representable (0/1)
+        h, m, l = _split3(x)
+        return _dot(h, sel) + _dot(m, sel) + _dot(l, sel)
+
+    def dot_f32(x, y):
+        xh, xm, xl = _split3(x)
+        yh, ym, yl = _split3(y)
+        return (_dot(xh, yh) + (_dot(xm, yh) + _dot(xh, ym))
+                + (_dot(xl, yh) + _dot(xm, ym) + _dot(xh, yl)))
+
+    if dt_ != jnp.float32:  # f64 interpret path: native dot is exact
+        dot_sel = dot_f32 = _dot
 
     def body(j, _):
         tt = ttau_ref[pl.ds(j, 1), :]
@@ -419,11 +444,11 @@ def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
             valid = (c * s_chunk + row) < S
             xn = mu_g + sd_g * xi_c  # (sc, BN)
             lk = jax.nn.softplus(xn) if link == "softplus" else jnp.exp(xn)
-            a = dot(lk, Wbd)  # (sc, BD)
+            a = dot_f32(lk, Wbd)  # (sc, BD)
             if variant == "sq":
                 a = jnp.sqrt(jnp.maximum(a, 1e-12))
-            s2e = dot(a * a * s2_z, selD) + sn2  # (sc, BF)
-            mean = dot(a * mu_z, selD)
+            s2e = dot_sel(a * a * s2_z, selD) + sn2  # (sc, BF)
+            mean = dot_sel(a * mu_z, selD)
             resid = y_k - mean  # (sc, BF)
             log_norm = -0.5 * (resid * resid / s2e + jnp.log(s2e) + _LOG2PI)
             log_norm = jnp.where(valid, log_norm, -jnp.inf)
@@ -433,11 +458,11 @@ def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
             norm = jnp.where(valid, jnp.exp(log_norm - m_new), 0.0)
             wns = wn_c * norm  # (sc, BF)
             rs = resid / s2e
-            wns_d = dot(wns, exD)  # (sc, BD)
-            rs_d = dot(rs, exD)
-            inv_s2e_d = dot(1.0 / s2e, exD)
+            wns_d = dot_sel(wns, exD)  # (sc, BD)
+            rs_d = dot_sel(rs, exD)
+            inv_s2e_d = dot_sel(1.0 / s2e, exD)
             dmu_g = (xn - mu_g) * inv_s2g  # (sc, BN)
-            wns_n = dot(wns, exN)
+            wns_n = dot_sel(wns, exN)
             Z = jnp.sum(wns, axis=0, keepdims=True)  # (1, BF)
             A1 = jnp.sum(wns_d * rs_d * a, axis=0, keepdims=True)  # (1, BD)
             A2 = jnp.sum(wns_d * (a * a) * (rs_d * rs_d - inv_s2e_d),
@@ -453,8 +478,8 @@ def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
                 Z, A1, A2, G1, G2, m_run = acc
                 Zc, A1c, A2c, G1c, G2c, m_new = chunk_contrib(c, m_run)
                 al = jnp.exp(m_run - m_new)  # (1, BF) rescale of old sums
-                al_d = dot(al, exD)
-                al_n = dot(al, exN)
+                al_d = dot_sel(al, exD)
+                al_n = dot_sel(al, exN)
                 return (Z * al + Zc, A1 * al_d + A1c, A2 * al_d + A2c,
                         G1 * al_n + G1c, G2 * al_n + G2c, m_new)
 
@@ -466,8 +491,8 @@ def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
         lZ_raw = m_run + jnp.log(Z0)  # (1, BF)
         lZk = jnp.maximum(lZ_raw, jnp.log(jnp.asarray(z_floor, dt_)))
         Zi = jnp.exp(lZ_raw - lZk) / Z0  # (1, BF)
-        Zi_d = dot(Zi, exD)
-        Zi_n = dot(Zi, exN)
+        Zi_d = dot_sel(Zi, exD)
+        Zi_n = dot_sel(Zi, exN)
         dlZ_z = Zi_d * A1  # (1, BD)
         dlZ_g = Zi_n * G1
         d2_z = Zi_d * A2 - dlZ_z * dlZ_z
@@ -476,7 +501,7 @@ def _adf_kernel_mb(y_ref, obs_ref, ttau_ref, tnu_ref, A_ref, Q_ref, Pi_ref,
         d2lZ = jnp.concatenate([d2_z, d2_g], axis=1)
 
         # ---- damped ADF site update (per lane; obs broadcast per file) ----
-        obs_c = dot(obs, exC)  # (1, BC)
+        obs_c = _dot(obs, exC)  # (1, BC): both operands 0/1 -> exact
         denom = 1.0 + d2lZ * HPH
         tt_new = (1.0 - damp) * tt + damp * (-d2lZ / denom)
         tn_new = (1.0 - damp) * tn + damp * ((dlZ - fmu * d2lZ) / denom)
@@ -544,6 +569,15 @@ def adf_filter_pallas_mb(
     BC, bs = ssm_flat.H.shape
     BF = n_files
     D, N = mp.D, mp.N
+    if BC > 128:
+        # The kernel slices the z/g lane blocks at offset BF*D; Mosaic
+        # cannot relayout slices that cross the 128-lane tile boundary
+        # ("Invalid input layout" on the (1, BN) broadcast).  Callers chunk
+        # the file batch so BF*(D+N) <= 128 (see experiments BATCH_CAP).
+        raise ValueError(
+            f"batched ADF kernel needs BF*(D+N) <= 128 lanes, got {BC}; "
+            "split the file batch"
+        )
     dt_ = ssm_flat.A.dtype
     T = yB.shape[0]
     wn, xi = sigma_points(mp)  # (S,), (S, N)
