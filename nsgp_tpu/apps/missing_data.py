@@ -102,6 +102,10 @@ def fill_gaps_batch(
     gapB = ~maskB if metric_gapsB is None else metric_gapsB
     rmseB = jax.vmap(metrics.rmse)(y_trueB, y_hatB, gapB)
     snrB = jax.vmap(metrics.snr_db)(y_trueB, y_hatB, gapB)
+    if hasattr(res, "ms") and hasattr(res, "Ps"):
+        # drop the dense state trajectories (GIEKF: ~1.2 GB per file) —
+        # batch callers only consume moments and metrics
+        res = res._replace(ms=None, Ps=None)
     return GapFillResult(y_hat=y_hatB, rmse_gaps=rmseB, snr_gaps=snrB,
                          result=res)
 

@@ -44,7 +44,26 @@ def separate(
     from nsgp_tpu.inference import registry
 
     jm, jp, slices = mixture.join_models(models, params, lik=mixture_lik)
-    res = registry.infer(engine, jm, jp, y_mix, None, **engine_kwargs)
+    if engine == "ep" and engine_kwargs.get("backend") == "pallas":
+        # TPU path for the joint model (ref gf_ep_mods_nmf_mixture.m at
+        # J=3: 48 subbands + 9 modulators): the host-loop batched engine
+        # at BF=1 gives (i) per-sweep executions that stay under the
+        # TPU-tunnel watchdog and avoid the fused-program miscompile seen
+        # at C > 19 (inference.batched.ep_infer_batch docstring), and
+        # (ii) sigma-point chunking (config.s_chunk) so the N=9 ut9
+        # cubature (3973 points) never overflows the fused kernel's VMEM.
+        from nsgp_tpu.inference import batched as bt
+        from nsgp_tpu.inference.ep import EPConfig
+
+        cfg = EPConfig(**engine_kwargs)
+        rb = bt.ep_infer_batch(
+            jm, jax.tree.map(lambda x: x[None], jp),
+            jnp.asarray(y_mix)[None], None, cfg,
+        )
+        res = rb._replace(Eft=rb.Eft[0], Varft=rb.Varft[0],
+                          nlZ=rb.nlZ[0], maxdiff=rb.maxdiff[0])
+    else:
+        res = registry.infer(engine, jm, jp, y_mix, None, **engine_kwargs)
 
     if key is None:
         key = jax.random.PRNGKey(0)

@@ -31,6 +31,7 @@ from nsgp_tpu.apps import denoise as dn
 from nsgp_tpu.experiments import protocol, train_corpus
 from nsgp_tpu.pretrain import filterbank as fb_mod
 from nsgp_tpu.utils import metrics
+from nsgp_tpu.utils.speech_quality import fw_seg_snr
 from nsgp_tpu.utils.stoi import stoi
 
 
@@ -120,6 +121,14 @@ def run_file(
             "stoi_wiener": round(
                 stoi(np.asarray(y_clean), np.asarray(y_wiener), fs), 4
             ),
+            # PESQ stand-in (the reference ships pesq.p, un-portable
+            # p-code): fwSegSNR, Hu & Loizou 2008 — see utils.speech_quality
+            "fwsegsnr_in_db": round(float(fw_seg_snr(y_clean, y_noisy, fs)), 3),
+            "fwsegsnr_out_db": round(float(fw_seg_snr(y_clean, y_hat, fs)), 3),
+            "fwsegsnr_mc_db": round(float(fw_seg_snr(y_clean, y_mc, fs)), 3),
+            "fwsegsnr_wiener_db": round(
+                float(fw_seg_snr(y_clean, y_wiener, fs)), 3
+            ),
             "seconds_cold": round(times[0], 3),
             "seconds_warm": round(times[1], 3),
         })
@@ -165,6 +174,15 @@ def run(files=("speech0_female", "speech1_male"), corpus="speech",
             ),
             "mean_stoi_out": float(np.mean([r["stoi_out"] for r in rows])),
             "mean_stoi_in": float(np.mean([r["stoi_in"] for r in rows])),
+            "mean_fwsegsnr_out_db": float(
+                np.mean([r["fwsegsnr_out_db"] for r in rows])
+            ),
+            "mean_fwsegsnr_in_db": float(
+                np.mean([r["fwsegsnr_in_db"] for r in rows])
+            ),
+            "mean_fwsegsnr_wiener_db": float(
+                np.mean([r["fwsegsnr_wiener_db"] for r in rows])
+            ),
         }
         for (k, v), rows in agg.items()
     }

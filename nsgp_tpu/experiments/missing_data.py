@@ -89,7 +89,12 @@ def engine_config(engine: str, itts: int, extra=None) -> dict:
               "grid_lo": -7.0,  # realized R = lik/ttau with lik=1e-4
               # blocked two-level steady scans for sweeps >= 2 (the
               # long-signal fast path; == one-level scan to 2e-14)
-              "parallel": True, "chunk": 2048}
+              "parallel": True, "chunk": 2048,
+              # tuned arm: correct steady filtered covariance (the quirk's
+              # 5-20x variance overestimate at converged sites is the
+              # multi-sweep degradation mechanism — IHGPConfig.pf_correct);
+              # 'ihgp_ref' keeps reference parity
+              "pf_correct": engine != "ihgp_ref"}
     if engine == "giekf":
         ek = {"g_iter": itts, "l_iter": 1}
     ek.update(extra or {})
@@ -176,7 +181,9 @@ def run_file(
 # file (~1.2 GB at music scale), so its batch is memory-bounded; the
 # lane-batched EP kernels need BF*(D+N) <= 128 lanes (6 files at D=16,N=3);
 # the means-only IHGP path takes whole corpora.
-BATCH_CAP = {"ep": 6, "ihgp": 16, "ihgp_ref": 16, "giekf": 4}
+# GIEKF holds ~4 live (T, m, m) trajectory copies per file across the pass
+# loop (~5 GB/file at music scale) — batch 2 fits the 16 GB chip.
+BATCH_CAP = {"ep": 6, "ihgp": 16, "ihgp_ref": 16, "giekf": 2}
 
 
 def run_batched(corpus="music", files=None, kernels=("exp",),
@@ -237,24 +244,35 @@ def run_batched(corpus="music", files=None, kernels=("exp",),
                 times, rows_eng = [], {}
                 try:
                     for s in starts:
-                        sl = slice(s, min(s + cap, len(files)))
-                        pB = jax.tree.map(lambda x: x[sl], paramsB_all)
+                        # Pad the last batch to the cap size by repeating
+                        # trailing files: every batch shares ONE compiled
+                        # shape (a ragged final batch recompiled and its
+                        # "warm" time was pure compile).
+                        idx = list(range(s, min(s + cap, len(files))))
+                        bsz = len(idx)
+                        pad_idx = idx + [idx[-1]] * (min(cap, len(files))
+                                                     - bsz)
+                        ix = np.asarray(pad_idx)
+                        pB = jax.tree.map(lambda x: x[ix], paramsB_all)
                         nrep = 2 if s == 0 else 1  # cold (compile) + warm
                         for _ in range(nrep):
                             t0 = time.perf_counter()
                             r = md.fill_gaps_batch(
-                                model, pB, yB_all[sl], maskB_all[sl],
+                                model, pB, yB_all[ix], maskB_all[ix],
                                 engine=eng.split("_")[0],
                                 n_samples=n_samples,
-                                metric_gapsB=gapsB_all[sl], **ek)
+                                metric_gapsB=gapsB_all[ix], **ek)
                             jax.block_until_ready(r.y_hat)
                             times.append(time.perf_counter() - t0)
-                        bsz = sl.stop - sl.start
-                        for i, name in enumerate(files[sl]):
+                        rmse_b = np.asarray(r.rmse_gaps)
+                        snr_b = np.asarray(r.snr_gaps)
+                        r = None  # release device buffers (GIEKF batches
+                        # hold multi-GB trajectories) before the next batch
+                        for i, name in enumerate(files[s:s + bsz]):
                             rows_eng[name] = {
                                 "engine": eng, "ep_itts": itts,
-                                "rmse_gaps": float(r.rmse_gaps[i]),
-                                "snr_gaps_db": float(r.snr_gaps[i]),
+                                "rmse_gaps": float(rmse_b[i]),
+                                "snr_gaps_db": float(snr_b[i]),
                                 "seconds_cold": (round(times[0], 3)
                                                  if s == 0 else None),
                                 "seconds_warm": round(times[-1] / bsz, 4),

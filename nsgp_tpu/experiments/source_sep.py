@@ -112,9 +112,15 @@ def run(
         ek["grid_lo"] = -7.0
         ek["parallel"] = True
         ek["chunk"] = 2048
-    # NOTE: no pallas backend here — the joint 3-source model has N = 9
-    # modulators, whose ut9 cubature (3973 sigma points) blows the fused
-    # kernel's VMEM budget; the XLA path chunks the moment batch instead.
+    if engine == "ep" and jax.default_backend() not in ("cpu",):
+        # TPU path (VERDICT r4 item 2): host-loop batched EP at BF=1 with
+        # sigma-point chunking — the N=9 ut9 cubature (3973 points) streams
+        # through VMEM in 256-point chunks, and per-sweep executions stay
+        # under the TPU-tunnel watchdog.  moment_chunk bounds the XLA
+        # re-site intermediate (chunk, 3973, 48) to ~50 MB.
+        ek["backend"] = "pallas"
+        ek["s_chunk"] = 256
+        ek["moment_chunk"] = 64
     t0 = time.perf_counter()
     r = ss.separate(models, params, y_test, engine=engine,
                     true_sources=jnp.asarray(parts), n_samples=n_samples,

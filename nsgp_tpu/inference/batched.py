@@ -287,6 +287,11 @@ def giekf_infer_batch(model, paramsB, yB, maskB=None, config=None):
         if ms is None:
             ms, Ps, nll = ms_g, Ps_g, nll_g
         else:
+            if config.accept_tol >= 0.0:
+                # per-file NLL acceptance gate (see giekf.GIEKFConfig)
+                good = good & (
+                    nll_g <= nll + config.accept_tol * jnp.abs(nll)
+                )
             ms = jnp.where(good[:, None, None], ms_g, ms)
             Ps = jnp.where(good[:, None, None, None], Ps_g, Ps)
             nll = jnp.where(good, nll_g, nll)

@@ -40,6 +40,13 @@ class GIEKFConfig(NamedTuple):
     g_iter: int = 3  # global (filter+smoother) passes
     l_iter: int = 5  # inner IEKF iterations per update (iekf_update1 default)
     jitter: float = 1e-9
+    accept_tol: float = 1e-3  # per-pass acceptance (VERDICT r4 item 8):
+    # a global pass is kept only if its innovation NLL does not exceed the
+    # best accepted pass's by more than accept_tol * |best| — extra passes
+    # can then never degrade the posterior (the reference has no such gate
+    # and its deep iteration silently drifts on hard f32 signals, e.g.
+    # speech1_male finite-but-collapsed at 20 passes).  Set < 0 to disable
+    # (pure reference semantics: every finite pass is kept).
 
 
 class GIEKFResult(NamedTuple):
@@ -278,12 +285,19 @@ def giekf_infer(
         ms_g, Ps_g, nll_g, good = _giekf_pass(
             model, params, y, mask, m0, P0, config
         )
-        # Pass-level divergence guard: keep the last finite pass's
+        # Pass-level guards: (i) divergence — keep the last finite pass's
         # posterior (pass 1 — plain IEKF from the prior — is stable in
-        # practice) and restart the next pass from it.
+        # practice); (ii) acceptance — reject a finite pass whose
+        # innovation NLL regressed past accept_tol (see GIEKFConfig), so
+        # deep iteration cannot silently degrade quality.  The next pass
+        # restarts from the kept posterior either way.
         if ms is None:
             ms, Ps, nll = ms_g, Ps_g, nll_g
         else:
+            if config.accept_tol >= 0.0:
+                good = good & (
+                    nll_g <= nll + config.accept_tol * jnp.abs(nll)
+                )
             ms = jnp.where(good, ms_g, ms)
             Ps = jnp.where(good, Ps_g, Ps)
             nll = jnp.where(good, nll_g, nll)

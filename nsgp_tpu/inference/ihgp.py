@@ -69,6 +69,15 @@ class IHGPConfig(NamedTuple):
     grid_coarse: int = 32
     grid_fine: int = 200
     unroll: int = 8  # lax.scan unroll for the sequential steady passes
+    pf_correct: bool = False  # use the CORRECT steady filtered covariance
+    # Pf = PP - K S K' instead of the reference's Pf = PP - K ro K'
+    # (ihgp_ep_modulator_nmf.m:162).  The reference form leaves
+    # h'Pf h ~= h'PP h at strong sites (ro << h'PP h) instead of ~= ro — a
+    # many-x overestimate of the filtered (and hence steady smoothed)
+    # variance at observed steps, which is exactly the re-site cavity
+    # variance bias that makes converged IHGP sites degrade harmonic files
+    # (ROUND4_NOTES item 2b: measured 5-20x on bamboo_flute).  True = fix
+    # the tables (gain G, PS, hPSh all follow); False = reference parity.
     parallel: bool = False  # parallel-in-time passes for sweeps >= 2.
     # With chunk == 0 this is the one-level associative scan, which gathers
     # per-step (T, C, bs, bs) gain tensors whose TPU tile padding is 32x
@@ -170,14 +179,17 @@ def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
     hPhc = jnp.einsum("cgi,ci->cg", Phc, H)
     sc = hPhc + r_coarse[None, :]
     Kc = Phc / sc[..., None]
-    # Filtered covariance — REFERENCE QUIRK preserved: the reference weights
-    # K K' by the NOISE ro, not the innovation variance S
-    # (ihgp_ep_modulator_nmf.m:162 `P = PP-K*ro(j)*K'`), i.e. Pf here is
-    # inflated by (h'PPh) K K' relative to the standard PP - K S K'.  The
-    # smoother gain and steady smoothed covariance inherit this; the
-    # reference's engine agreement depends on it (verified against the
-    # line-faithful oracle in tests/ref_oracle.py).
-    Pfc = P_coarse - r_coarse[None, :, None, None] * Kc[..., :, None] * Kc[..., None, :]
+    # Filtered covariance.  Default (pf_correct=False) preserves the
+    # REFERENCE QUIRK: the reference weights K K' by the NOISE ro, not the
+    # innovation variance S (ihgp_ep_modulator_nmf.m:162 `P = PP-K*ro(j)*K'`),
+    # i.e. Pf is inflated by (h'PPh) K K' relative to the standard
+    # PP - K S K' — at strong sites h'Pf h stays ~= h'PP h instead of ~= ro.
+    # The smoother gain and steady smoothed covariance inherit this; exact
+    # reference agreement depends on it (tests/ref_oracle.py).  With
+    # pf_correct=True the standard Joseph-consistent form is used and the
+    # multi-sweep cavity bias (see IHGPConfig.pf_correct) disappears.
+    kkw = sc if cfg.pf_correct else jnp.broadcast_to(r_coarse[None, :], sc.shape)
+    Pfc = P_coarse - kkw[..., None, None] * Kc[..., :, None] * Kc[..., None, :]
     # smoother gain G = Pf A' (A Pf A' + Q)^{-1}  (ref :165-175; with the
     # inflated Pf this is NOT the DARE identity, so the pseudo-prediction
     # is formed explicitly)

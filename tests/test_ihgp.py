@@ -144,3 +144,68 @@ def test_blocked_steady_passes_match_one_level():
     np.testing.assert_allclose(
         np.asarray(r_blk.Varft), np.asarray(r_one.Varft), atol=1e-10
     )
+
+
+def test_pf_correct_steady_smoothed_variance_matches_exact():
+    """Table-level check of IHGPConfig.pf_correct: for CONSTANT strong sites
+    the steady smoothed variance must match an exact fixed-site
+    filter/smoother run, while the reference quirk Pf = PP - K ro K'
+    (ihgp_ep_modulator_nmf.m:162) overestimates it by a large factor
+    (ROUND4_NOTES item 2b: 5-20x measured at audio scale)."""
+    from nsgp_tpu.ops import kalman
+
+    model, params = _toy()
+    params = params._replace(lik=jnp.asarray(1e-4))
+    ssm = model.build_ssm(params)
+    C = ssm.num_channels
+    T = 400
+    ttau_val = 1.0 / 1e-3  # strong site: effective noise R = 1e-3
+    sites = kalman.Sites(jnp.full((T, C), ttau_val), jnp.zeros((T, C)))
+    fr = kalman.filter_with_sites(ssm, sites, store=True)
+    ms, Ps = kalman.rts_smoother(ssm, fr)
+    _, var_exact = kalman.observable_marginals(ssm, ms, Ps)
+    v_exact = np.asarray(var_exact[T // 2])  # (C,) mid-signal steady value
+
+    cfg = ihgp.IHGPConfig(grid_lo=-6.0)
+    idx = ihgp._lookup_idx(ihgp.build_tables(ssm, cfg),
+                           jnp.full((C,), ttau_val))
+    v_quirk = np.asarray(
+        ihgp.build_tables(ssm, cfg).hPSh[np.arange(C), np.asarray(idx)])
+    tab_fix = ihgp.build_tables(ssm, cfg._replace(pf_correct=True))
+    v_fix = np.asarray(tab_fix.hPSh[np.arange(C), np.asarray(idx)])
+
+    D = model.D
+    r_quirk = np.median(v_quirk[:D] / v_exact[:D])
+    r_fix = np.median(v_fix[:D] / v_exact[:D])
+    # the quirk overestimates the subband smoothed variance severely;
+    # the corrected tables land within interpolation error of exact
+    assert r_quirk > 3.0, r_quirk
+    assert 0.5 < r_fix < 1.5, r_fix
+
+
+def test_pf_correct_multisweep_reduces_cavity_bias():
+    """End-to-end: with converged-ish sites the corrected tables cut the
+    posterior-variance overestimate vs full EP by at least 2x (the EP-loop
+    keeps a residual gap from site-strength differences, so only the
+    relative improvement is asserted)."""
+    model, params = _toy()
+    params = params._replace(lik=jnp.asarray(1e-4))
+    y, _, _ = sample_prior(jax.random.PRNGKey(7), model, params, T=600)
+
+    res_ep = ep.ep_infer(
+        model, params, y, None,
+        ep.EPConfig(ep_itts=12, ep_fraction=0.75, damping=(0.5,)),
+    )
+    cfg = ihgp.IHGPConfig(ep_itts=12, ep_fraction=0.75, damping=(0.1,),
+                          grid_lo=-9.0)
+    r_quirk = ihgp.ihgp_infer(model, params, y, None, cfg)
+    r_fix = ihgp.ihgp_infer(model, params, y, None,
+                            cfg._replace(pf_correct=True))
+
+    sl = slice(60, -60)
+    D = model.D
+    ve = np.asarray(res_ep.Varft[sl, :D])
+    ratio_quirk = np.median(np.asarray(r_quirk.Varft[sl, :D]) / ve)
+    ratio_fix = np.median(np.asarray(r_fix.Varft[sl, :D]) / ve)
+    assert ratio_quirk > 2.0 * ratio_fix, (ratio_quirk, ratio_fix)
+    assert bool(jnp.all(jnp.isfinite(r_fix.Eft)))
