@@ -34,6 +34,16 @@ def tv_wiener(
     noise_var: float,
     nwin: int = 512,
     hop: int = 128,
+    stat_spec: jax.Array | None = None,  # (F,) stationary signal spectrum
+    # at the rfft bins (same PSD units as noise_var), e.g. from the stage-1
+    # filterbank fit
+    stat_floor: float = 0.0,  # kappa: final gain G = max(G_tv, kappa *
+    # G_stat) — caps how much harder than the stationary Wiener the
+    # time-varying filter may suppress.  Envelope-estimation error in
+    # low-SNR frames over-suppresses real speech (the round-4 waveform-SNR
+    # / STOI deficit vs the stationary baseline); the floor bounds that
+    # failure mode while keeping the TV suppression of genuinely quiet
+    # frames (kappa < 1).  0 = pure TV gain (round-4 behavior).
 ):
     """Time-varying Wiener filter from the posterior modulator envelopes.
 
@@ -91,12 +101,38 @@ def tv_wiener(
     a2f = jnp.mean(a2p[idx], axis=1)  # (n_frames, D)
     S = a2f @ P.T  # (n_frames, F)
     G = S / (S + noise_var)
+    if stat_spec is not None and stat_floor > 0.0:
+        G_stat = stat_spec / (stat_spec + noise_var)  # (F,)
+        G = jnp.maximum(G, stat_floor * G_stat[None, :])
     out_frames = jnp.fft.irfft(Y * G, nwin, axis=1) * win[None, :]
 
     # overlap-add (sqrt-Hann^2 at hop = nwin/4 sums to a constant)
     y_out = jnp.zeros((Tp,), y_noisy.dtype).at[idx].add(out_frames)
     wsum = jnp.zeros((Tp,), y_noisy.dtype).at[idx].add(win[None, :] ** 2)
     return (y_out / jnp.maximum(wsum, 1e-6))[:T]
+
+
+def stationary_spectrum(
+    kernel: str,
+    sigma2: jax.Array,  # (D,) channel variances
+    lengthscales: jax.Array,  # (D,)
+    omega: jax.Array,  # (D,)
+    nwin: int = 512,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """(F,) stationary model PSD at the rfft bins, in the same discrete-PSD
+    units as a white-noise variance (see tv_wiener's normalization) — the
+    spectrum of the stage-1 filterbank fit, for use as tv_wiener's
+    ``stat_spec``."""
+    from nsgp_tpu.pretrain.spectral import LAM_SCALE, component_spectra
+
+    D = sigma2.shape[0]
+    wbins = jnp.arange(nwin // 2 + 1).astype(dtype) * (2.0 * jnp.pi / nwin)
+    lam = LAM_SCALE[kernel] / lengthscales
+    P = component_spectra(kernel, jnp.ones((D,), dtype), lam, omega, wbins)
+    two_sided = jnp.concatenate([P, P[1:-1][::-1]], axis=0)
+    P = P / jnp.mean(two_sided, axis=0, keepdims=True)
+    return P @ sigma2.astype(dtype)
 
 
 def denoise(

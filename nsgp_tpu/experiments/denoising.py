@@ -45,6 +45,9 @@ def run_file(
     seed: int = 0,
     pad_T: int | None = None,
     n_samples: int = 200,  # ref :113 (s = 200)
+    stat_floor: float = 0.0,  # kappa of the headline readout (see
+    # apps.denoise.tv_wiener.stat_floor)
+    blend_arms: tuple = (0.25, 0.5, 0.75, 1.0),  # recorded kappa sweep
 ):
     tm, y_norm = train_corpus.load_corpus_model(corpus, name, kernel1)
     T = len(y_norm)
@@ -92,8 +95,25 @@ def run_file(
         # resynthesis (sum of D narrow subbands) is kept as *_mc parity
         # columns; it has ~zero energy between spectral peaks, which
         # log-spectral/STOI metrics punish regardless of fit quality.
+        S_stat = dn.stationary_spectrum(
+            kernel1, wfit.sigma2, w_len, wfit.omega,
+            dtype=jnp.asarray(y_noisy).dtype)
         y_hat = dn.tv_wiener(tm.model, tm.params, r.result.Eft[:T],
-                             y_noisy, float(v))
+                             y_noisy, float(v), stat_spec=S_stat,
+                             stat_floor=stat_floor)
+        # stationary-gain-floor sweep (VERDICT r5 item 4): same posterior,
+        # different readout blends — cheap to evaluate per row
+        blend = {}
+        for kap in blend_arms:
+            yk = dn.tv_wiener(tm.model, tm.params, r.result.Eft[:T],
+                              y_noisy, float(v), stat_spec=S_stat,
+                              stat_floor=kap)
+            blend[str(kap)] = {
+                "snr_db": float(metrics.snr_db(y_clean, yk)),
+                "stoi": round(stoi(np.asarray(y_clean), np.asarray(yk), fs), 4),
+                "log_spec_snr_db": float(metrics.log_spec_snr_db(y_clean, yk)),
+                "fwsegsnr_db": round(float(fw_seg_snr(y_clean, yk, fs)), 3),
+            }
         Zw = fb_mod.fft_filterbank(
             wfit.sigma2, w_len, wfit.omega, y_noisy, kernel=kernel1,
             noise=v + w_noise,
@@ -131,6 +151,8 @@ def run_file(
             ),
             "seconds_cold": round(times[0], 3),
             "seconds_warm": round(times[1], 3),
+            "stat_floor": stat_floor,
+            "blend": blend,
         })
         print({"file": name, "kernel": kernel1, **rows[-1]},
               file=sys.stderr, flush=True)
@@ -140,7 +162,8 @@ def run_file(
 
 
 def run(files=("speech0_female", "speech1_male"), corpus="speech",
-        kernels=("exp",), engine="ep", ep_itts=30, n_samples=200):
+        kernels=("exp",), engine="ep", ep_itts=30, n_samples=200,
+        stat_floor=0.0):
     pad_T = None
     if len(files) > 1:
         from nsgp_tpu.experiments.missing_data import _pad_len
@@ -154,6 +177,7 @@ def run(files=("speech0_female", "speech1_male"), corpus="speech",
             out["files"].append(run_file(
                 corpus, name, kernel1=kernel, ep_itts=ep_itts,
                 engine=engine, pad_T=pad_T, n_samples=n_samples,
+                stat_floor=stat_floor,
             ))
     # per-level aggregate over files (ref noise_reduction_results.m:23-63)
     agg = {}

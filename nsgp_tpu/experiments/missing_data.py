@@ -89,12 +89,15 @@ def engine_config(engine: str, itts: int, extra=None) -> dict:
               "grid_lo": -7.0,  # realized R = lik/ttau with lik=1e-4
               # blocked two-level steady scans for sweeps >= 2 (the
               # long-signal fast path; == one-level scan to 2e-14)
-              "parallel": True, "chunk": 2048,
-              # tuned arm: correct steady filtered covariance (the quirk's
-              # 5-20x variance overestimate at converged sites is the
-              # multi-sweep degradation mechanism — IHGPConfig.pf_correct);
-              # 'ihgp_ref' keeps reference parity
-              "pf_correct": engine != "ihgp_ref"}
+              "parallel": True, "chunk": 2048}
+        # NOTE (round 5): the corrected cavity-variance tables
+        # (IHGPConfig.pf_correct) were built, measured at this grid, and
+        # REVERTED: full correction NaN'd guitar and cost sax 3 dB, a 0.5
+        # log-blend flipped which file destabilized — the quirk's variance
+        # inflation is load-bearing for the reference's multi-sweep scheme
+        # (details in the config's docstring / ROUND5_NOTES).  Multi-sweep
+        # quality beyond the tuned damping is the EP engine's job: the
+        # batched Pallas EP is faster than IHGP on-chip at these scales.
     if engine == "giekf":
         ek = {"g_iter": itts, "l_iter": 1}
     ek.update(extra or {})

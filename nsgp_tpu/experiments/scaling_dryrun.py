@@ -50,7 +50,7 @@ def _collective_stats(compiled) -> dict:
     return out
 
 
-def run(T=192_512, D=16, N=3, chunk=2048, mesh_sizes=(1, 2, 4, 8),
+def run(T=196_608, D=16, N=3, chunk=2048, mesh_sizes=(1, 2, 4, 8),
         reps=2, save_path="results/scaling_dryrun.json"):
     import jax
     import jax.numpy as jnp
@@ -136,13 +136,10 @@ def run(T=192_512, D=16, N=3, chunk=2048, mesh_sizes=(1, 2, 4, 8),
                         r = fn(y)
                         np.asarray(r.nlZ)
                         times.append(time.perf_counter() - t0)
-                # collective inventory of the traced+compiled program
+                # collective inventory of the actual compiled program
                 with jax.sharding.set_mesh(m):
-                    comp = (
-                        jax.jit(lambda yy: ep.ep_infer.__wrapped__(
-                            model, params, yy, None, cfg).nlZ)
-                        .lower(y).compile()
-                    )
+                    comp = ep.ep_infer.lower(
+                        model, params, y, None, cfg).compile()
                 coll = _collective_stats(comp)
                 if ref_mu is None:
                     ref_mu = mu
@@ -173,7 +170,7 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--T", type=int, default=192_512)
+    ap.add_argument("--T", type=int, default=196_608)  # 96 chunks of 2048: divisible by every mesh size
     ap.add_argument("--chunk", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()

@@ -69,15 +69,25 @@ class IHGPConfig(NamedTuple):
     grid_coarse: int = 32
     grid_fine: int = 200
     unroll: int = 8  # lax.scan unroll for the sequential steady passes
-    pf_correct: bool = False  # use the CORRECT steady filtered covariance
-    # Pf = PP - K S K' instead of the reference's Pf = PP - K ro K'
-    # (ihgp_ep_modulator_nmf.m:162).  The reference form leaves
+    pf_correct: float = 0.0  # blend weight toward the CORRECT steady
+    # smoothed VARIANCE (from Pf = PP - K S K') for the re-site cavity and
+    # Varft output, vs the variance implied by the reference's quirk
+    # Pf = PP - K ro K' (ihgp_ep_modulator_nmf.m:162).  The quirk leaves
     # h'Pf h ~= h'PP h at strong sites (ro << h'PP h) instead of ~= ro — a
-    # many-x overestimate of the filtered (and hence steady smoothed)
-    # variance at observed steps, which is exactly the re-site cavity
-    # variance bias that makes converged IHGP sites degrade harmonic files
-    # (ROUND4_NOTES item 2b: measured 5-20x on bamboo_flute).  True = fix
-    # the tables (gain G, PS, hPSh all follow); False = reference parity.
+    # many-x overestimate of the smoothed variance at observed steps: the
+    # re-site cavity bias that makes converged sites degrade harmonic files
+    # (ROUND4_NOTES item 2b, 5-20x measured).  HOWEVER the multi-sweep
+    # iteration RELIES on that inflation for stability: the fully-corrected
+    # variance (1.0) NaN'd guitar and cost sax 3 dB even with quirk
+    # mean-path gains and a lik floor — the small cavity variance re-ignites
+    # the strong-site feedback loop that the reference's conservative
+    # damping holds down (and a 0.5 log-blend merely moved the blowup to a
+    # different file).  Offered as the log-space blend
+    # exp((1-w) log v_quirk + w log v_correct) with mean-path gain tables
+    # (Ph, Gn) always on the quirk, but NOT enabled by any shipped driver:
+    # the robust fix for multi-sweep quality is per-step transient
+    # variances, i.e. the full-EP pass — which the fused-Pallas EP engine
+    # runs FASTER than IHGP at audio scale anyway.  0 = reference parity.
     parallel: bool = False  # parallel-in-time passes for sweeps >= 2.
     # With chunk == 0 this is the one-level associative scan, which gathers
     # per-step (T, C, bs, bs) gain tensors whose TPU tile padding is 32x
@@ -179,64 +189,82 @@ def build_tables(ssm: BlockSSM, cfg: IHGPConfig) -> IHGPTables:
     hPhc = jnp.einsum("cgi,ci->cg", Phc, H)
     sc = hPhc + r_coarse[None, :]
     Kc = Phc / sc[..., None]
-    # Filtered covariance.  Default (pf_correct=False) preserves the
-    # REFERENCE QUIRK: the reference weights K K' by the NOISE ro, not the
-    # innovation variance S (ihgp_ep_modulator_nmf.m:162 `P = PP-K*ro(j)*K'`),
-    # i.e. Pf is inflated by (h'PPh) K K' relative to the standard
-    # PP - K S K' — at strong sites h'Pf h stays ~= h'PP h instead of ~= ro.
-    # The smoother gain and steady smoothed covariance inherit this; exact
-    # reference agreement depends on it (tests/ref_oracle.py).  With
-    # pf_correct=True the standard Joseph-consistent form is used and the
-    # multi-sweep cavity bias (see IHGPConfig.pf_correct) disappears.
-    kkw = sc if cfg.pf_correct else jnp.broadcast_to(r_coarse[None, :], sc.shape)
-    Pfc = P_coarse - kkw[..., None, None] * Kc[..., :, None] * Kc[..., None, :]
-    # smoother gain G = Pf A' (A Pf A' + Q)^{-1}  (ref :165-175; with the
-    # inflated Pf this is NOT the DARE identity, so the pseudo-prediction
-    # is formed explicitly)
-    APAQ = jnp.einsum("cij,cgjk,clk->cgil", A, Pfc, A) + Q[:, None]
-    APAQ = 0.5 * (APAQ + jnp.swapaxes(APAQ, -1, -2))
-    PfA = jnp.einsum("cgij,ckj->cgik", Pfc, A)  # Pf A'
-    Gc = jnp.swapaxes(
-        jnp.linalg.solve(
-            jnp.swapaxes(APAQ + ssm.pad_eye[:, None], -1, -2),
-            jnp.swapaxes(PfA, -1, -2),
-        ),
-        -1,
-        -2,
-    )
-    # steady smoothed covariance: PS = G PS G' + QQ, QQ = Pf - G PP G',
-    # eigen-clipped to PSD exactly as the reference (:176-177)
-    QQ = Pfc - jnp.einsum("cgij,cgjk,cglk->cgil", Gc, P_coarse, Gc)
-    QQ = 0.5 * (QQ + jnp.swapaxes(QQ, -1, -2))
-    lamQ, VQ = jnp.linalg.eigh(QQ)
-    QQ = jnp.einsum("cgij,cgj,cgkj->cgik", VQ, jnp.maximum(lamQ, 0.0), VQ)
-    PSc = jax.vmap(jax.vmap(dare_mod.dlyap_doubling))(Gc, QQ)
-    # Smoother-stage failure tolerance (ref :180-185 drops ro points whose
-    # smoother DARE fails and re-interpolates without them): the Lyapunov
-    # doubling diverges when rho(G) >= 1 (near-zero effective noise), and a
-    # single bad coarse point would contaminate the interpolated fine table.
-    # Patch bad points (non-finite or large residual G PS G' - PS + QQ)
-    # with the nearest good one before interpolating.
-    res_s = jnp.max(
-        jnp.abs(
-            jnp.einsum("cgij,cgjk,cglk->cgil", Gc, PSc, Gc) - PSc + QQ
-        ),
-        axis=(-1, -2),
-    ) / (1.0 + jnp.max(jnp.abs(PSc), axis=(-1, -2)))
-    good_s = jnp.isfinite(res_s) & (res_s < 1e-6)
-    dist_s = jnp.abs(gi[:, None] - gi[None, :])[None]
-    dist_s = jnp.where(good_s[:, None, :], dist_s, jnp.iinfo(jnp.int32).max)
-    src_s = jnp.argmin(dist_s, axis=-1)  # (C, Gc)
-    PSc = jnp.take_along_axis(PSc, src_s[..., None, None], axis=1)
-    Gc = jnp.take_along_axis(Gc, src_s[..., None, None], axis=1)
-    any_good_s = jnp.any(good_s, axis=1)[:, None, None, None]
-    PSc = jnp.where(any_good_s, PSc, Pinf[:, None])
-    Gc = jnp.where(any_good_s, Gc, 0.0)
-    # interpolate the DERIVED smoother tables to the fine grid (ref :188-190)
-    Gn = jnp.einsum("gk,ckij->cgij", Wint, Gc)
-    PS = jnp.einsum("gk,ckij->cgij", Wint, PSc)
-    PS = 0.5 * (PS + jnp.swapaxes(PS, -1, -2))
-    hPSh = jnp.einsum("ci,cgij,cj->cg", H, PS, H)
+    def smoother_tables(kkw):
+        """Gn, hPSh from the coarse filtered covariance Pf = PP - K kkw K'.
+
+        kkw = ro reproduces the REFERENCE QUIRK: the reference weights K K'
+        by the NOISE ro, not the innovation variance S
+        (ihgp_ep_modulator_nmf.m:162 `P = PP-K*ro(j)*K'`), i.e. Pf is
+        inflated by (h'PPh) K K' relative to the standard PP - K S K' — at
+        strong sites h'Pf h stays ~= h'PP h instead of ~= ro.  Exact
+        reference agreement depends on it (tests/ref_oracle.py).  kkw = S
+        gives the standard Joseph-consistent covariance.
+        """
+        Pfc = P_coarse - kkw[..., None, None] * Kc[..., :, None] * Kc[..., None, :]
+        # smoother gain G = Pf A' (A Pf A' + Q)^{-1}  (ref :165-175; with
+        # the inflated Pf this is NOT the DARE identity, so the pseudo-
+        # prediction is formed explicitly)
+        APAQ = jnp.einsum("cij,cgjk,clk->cgil", A, Pfc, A) + Q[:, None]
+        APAQ = 0.5 * (APAQ + jnp.swapaxes(APAQ, -1, -2))
+        PfA = jnp.einsum("cgij,ckj->cgik", Pfc, A)  # Pf A'
+        Gc = jnp.swapaxes(
+            jnp.linalg.solve(
+                jnp.swapaxes(APAQ + ssm.pad_eye[:, None], -1, -2),
+                jnp.swapaxes(PfA, -1, -2),
+            ),
+            -1,
+            -2,
+        )
+        # steady smoothed covariance: PS = G PS G' + QQ, QQ = Pf - G PP G',
+        # eigen-clipped to PSD exactly as the reference (:176-177)
+        QQ = Pfc - jnp.einsum("cgij,cgjk,cglk->cgil", Gc, P_coarse, Gc)
+        QQ = 0.5 * (QQ + jnp.swapaxes(QQ, -1, -2))
+        lamQ, VQ = jnp.linalg.eigh(QQ)
+        QQ = jnp.einsum("cgij,cgj,cgkj->cgik", VQ, jnp.maximum(lamQ, 0.0), VQ)
+        PSc = jax.vmap(jax.vmap(dare_mod.dlyap_doubling))(Gc, QQ)
+        # Smoother-stage failure tolerance (ref :180-185 drops ro points
+        # whose smoother DARE fails and re-interpolates without them): the
+        # Lyapunov doubling diverges when rho(G) >= 1 (near-zero effective
+        # noise), and a single bad coarse point would contaminate the
+        # interpolated fine table.  Patch bad points (non-finite or large
+        # residual G PS G' - PS + QQ) with the nearest good one first.
+        res_s = jnp.max(
+            jnp.abs(
+                jnp.einsum("cgij,cgjk,cglk->cgil", Gc, PSc, Gc) - PSc + QQ
+            ),
+            axis=(-1, -2),
+        ) / (1.0 + jnp.max(jnp.abs(PSc), axis=(-1, -2)))
+        good_s = jnp.isfinite(res_s) & (res_s < 1e-6)
+        dist_s = jnp.abs(gi[:, None] - gi[None, :])[None]
+        dist_s = jnp.where(good_s[:, None, :], dist_s,
+                           jnp.iinfo(jnp.int32).max)
+        src_s = jnp.argmin(dist_s, axis=-1)  # (C, Gc)
+        PSc = jnp.take_along_axis(PSc, src_s[..., None, None], axis=1)
+        Gc = jnp.take_along_axis(Gc, src_s[..., None, None], axis=1)
+        any_good_s = jnp.any(good_s, axis=1)[:, None, None, None]
+        PSc = jnp.where(any_good_s, PSc, Pinf[:, None])
+        Gc = jnp.where(any_good_s, Gc, 0.0)
+        # interpolate the DERIVED smoother tables to the fine grid (:188-190)
+        Gn = jnp.einsum("gk,ckij->cgij", Wint, Gc)
+        PS = jnp.einsum("gk,ckij->cgij", Wint, PSc)
+        PS = 0.5 * (PS + jnp.swapaxes(PS, -1, -2))
+        hPSh = jnp.einsum("ci,cgij,cj->cg", H, PS, H)
+        return Gn, hPSh
+
+    # Mean path ALWAYS uses the reference-quirk gain tables (the tuned
+    # damping schedules are calibrated to them and the corrected gains
+    # destabilized 2/10 music files — see IHGPConfig.pf_correct); the
+    # corrected run swaps in only the Joseph-consistent smoothed VARIANCE,
+    # which feeds the re-site cavity and the Varft output.
+    Gn, hPSh = smoother_tables(jnp.broadcast_to(r_coarse[None, :], sc.shape))
+    if cfg.pf_correct:
+        # log-space blend toward the Joseph-consistent variance (see
+        # IHGPConfig.pf_correct: the fully-corrected variance re-ignites
+        # the strong-site feedback loop on some files)
+        w = float(cfg.pf_correct)
+        _, hPSh_c = smoother_tables(sc)
+        hPSh = jnp.exp((1.0 - w) * jnp.log(jnp.maximum(hPSh, 1e-30))
+                       + w * jnp.log(jnp.maximum(hPSh_c, 1e-30)))
 
     # Fully-failed channels (no converged grid point at all): fall back to
     # pure prediction at the prior: Gn = 0, variances = h' Pinf h.
@@ -661,6 +689,18 @@ def ihgp_infer(
     C = ssm.num_channels
     dt_ = ssm.A.dtype
     tables = build_tables(ssm, config)
+    if config.pf_correct:
+        # Stability floor for the corrected tables: hPSh tracks the realized
+        # R = lik/ttau downward without bound, so a strong-site runaway
+        # (ttau up -> cavity variance down -> 1/s2 derivative up -> ttau up)
+        # can drive the f32 re-site into blowup (observed on 2/10 music
+        # files).  Full EP's true smoothed variances sit 30-60x above lik on
+        # those files, so flooring at lik is far below truth yet bounds the
+        # feedback.  (The reference quirk's inflated variance regularized
+        # this loop by accident.)
+        tables = tables._replace(
+            hPSh=jnp.maximum(tables.hPSh, jnp.asarray(params.lik, dt_))
+        )
     mp = model.moment_params()
 
     def mom_fn(y_k, fmu, fs2, frac):
