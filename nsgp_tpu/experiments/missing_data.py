@@ -89,7 +89,13 @@ def engine_config(engine: str, itts: int, extra=None) -> dict:
               "grid_lo": -7.0,  # realized R = lik/ttau with lik=1e-4
               # blocked two-level steady scans for sweeps >= 2 (the
               # long-signal fast path; == one-level scan to 2e-14)
-              "parallel": True, "chunk": 2048}
+              "parallel": True, "chunk": 2048,
+              # tuned arm: energy-based sweep selection (deep iteration can
+              # never end below its best intermediate sweep — the
+              # multi-sweep iteration is marginally stable on a couple of
+              # strongly-harmonic files and f32 noise flips them);
+              # 'ihgp_ref' keeps the raw reference trajectory
+              "keep_best": engine != "ihgp_ref"}
         # NOTE (round 5): the corrected cavity-variance tables
         # (IHGPConfig.pf_correct) were built, measured at this grid, and
         # REVERTED: full correction NaN'd guitar and cost sax 3 dB, a 0.5

@@ -88,6 +88,15 @@ class IHGPConfig(NamedTuple):
     # the robust fix for multi-sweep quality is per-step transient
     # variances, i.e. the full-EP pass — which the fused-Pallas EP engine
     # runs FASTER than IHGP at audio scale anyway.  0 = reference parity.
+    keep_best: bool = False  # return the posterior of the sweep with the
+    # LOWEST EP energy (each sweep's smoothed moments are scored by the
+    # re-site moments evaluation it already performs; the final sweep gets
+    # one extra evaluation).  Rationale: at 20 sweeps under the tuned
+    # damping the iteration is marginally stable on strongly-harmonic
+    # files — f32 run-to-run noise (serial vs vmapped linalg) flips sax /
+    # guitar between ~8 dB and divergence (nlZ rising monotonically).
+    # Energy-based sweep selection makes deep iteration no worse than the
+    # best intermediate sweep regardless.  Off = reference trajectory.
     parallel: bool = False  # parallel-in-time passes for sweeps >= 2.
     # With chunk == 0 this is the one-level associative scan, which gathers
     # per-step (T, C, bs, bs) gain tensors whose TPU tile padding is 32x
@@ -769,7 +778,24 @@ def ihgp_infer(
                 lZ = lZ.at[-1].set(lZ_last)
             nlZ = nlZ.at[itt + 1].set(-jnp.sum(lZ))
             lZ_final = lZ
+            score = nlZ[itt + 1]
+        elif config.keep_best:
+            # score the final sweep's posterior the same way (a moments
+            # evaluation at its smoothed cavities; sites discarded)
+            _, lZ_eval = _resite(mp, params, config, y, mask, mu, var,
+                                 sites, 0.0, exclude_last=seq)
+            score = -jnp.sum(lZ_eval)
+        if config.keep_best:
+            if itt == 0:
+                best = (score, mu, var)
+            else:
+                better = score < best[0]
+                best = (jnp.where(better, score, best[0]),
+                        jnp.where(better, mu, best[1]),
+                        jnp.where(better, var, best[2]))
 
+    if config.keep_best:
+        mu, var = best[1], best[2]
     if seq and config.ep_itts > 1:
         lZ_final = lZ_final.at[-1].set(lZ_last)
 
