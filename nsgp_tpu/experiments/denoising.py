@@ -45,9 +45,12 @@ def run_file(
     seed: int = 0,
     pad_T: int | None = None,
     n_samples: int = 200,  # ref :113 (s = 200)
-    stat_floor: float = 0.0,  # kappa of the headline readout (see
-    # apps.denoise.tv_wiener.stat_floor)
-    blend_arms: tuple = (0.25, 0.5, 0.75, 1.0),  # recorded kappa sweep
+    stat_floor: float = 1.0,  # kappa of the headline readout (see
+    # apps.denoise.tv_wiener.stat_floor); 1.0 = never suppress harder than
+    # the stationary Wiener — the round-5 sweep's STOI/waveform-SNR winner
+    # (kappa=0, the pure TV gain, wins log-spec SNR + fwSegSNR and is
+    # recorded per row under 'blend')
+    blend_arms: tuple = (0.0, 0.25, 0.5, 0.75, 1.0),  # recorded kappa sweep
 ):
     tm, y_norm = train_corpus.load_corpus_model(corpus, name, kernel1)
     T = len(y_norm)
@@ -163,7 +166,7 @@ def run_file(
 
 def run(files=("speech0_female", "speech1_male"), corpus="speech",
         kernels=("exp",), engine="ep", ep_itts=30, n_samples=200,
-        stat_floor=0.0):
+        stat_floor=1.0):
     pad_T = None
     if len(files) > 1:
         from nsgp_tpu.experiments.missing_data import _pad_len

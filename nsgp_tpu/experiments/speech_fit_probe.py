@@ -71,8 +71,51 @@ def _gap_snr(tm, y_norm, mask):
     return float(r.snr_gaps)
 
 
+def train_arms(files, kernel="matern32", corpus="speech",
+               out_dir="results/trained/speech_probe"):
+    """Phase 1 (CPU/f64): train every (file, arm) variant and save .npz.
+
+    Training runs in f64 on CPU exactly like the shipped corpus artifacts
+    (train_corpus defaults to --device cpu); the spectral/GPPAD/NMF/SE-GP
+    stages are not f32-safe on TPU (probe round-5: retrained arms NaN'd).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from nsgp_tpu.experiments import AUDIO_ROOT, protocol
+    from nsgp_tpu.pretrain import pipeline
+    from nsgp_tpu.utils.audio import load_normalized
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in files:
+        y_norm, normaliser, _ = load_normalized(
+            os.path.join(AUDIO_ROOT, corpus, f"{name}.wav"),
+            fs_target=protocol.FS_REFERENCE)
+        for arm, kw in ARMS.items():
+            if arm == "base":
+                continue
+            path = os.path.join(out_dir, f"{name}_{kernel}_{arm}.npz")
+            if os.path.exists(path):
+                continue
+            t0 = time.perf_counter()
+            tm = pipeline.train_gtnmf_fixed_params(
+                jnp.asarray(y_norm), kernel1=kernel, N=3,
+                fs=protocol.FS_REFERENCE, **kw)
+            tm = tm._replace(normaliser=normaliser)
+            pipeline.save_trained(path, tm)
+            print({"file": name, "arm": arm, "trained_s":
+                   round(time.perf_counter() - t0, 1)},
+                  file=sys.stderr, flush=True)
+
+
 def run(files, kernel="matern32", corpus="speech", promote=False,
+        out_dir="results/trained/speech_probe",
         save_path="results/speech_fit_probe.json"):
+    """Phase 2 (TPU): evaluate each trained arm on validation gaps, select
+    per file, score the selection on the reference test gaps."""
     import jax.numpy as jnp
 
     from nsgp_tpu.experiments import AUDIO_ROOT, protocol, train_corpus
@@ -91,18 +134,18 @@ def run(files, kernel="matern32", corpus="speech", promote=False,
         test_mask = _gap_mask(name, T, shift=0)
         row = {"file": name, "arms": {}}
         tms = {}
-        for arm, kw in ARMS.items():
+        for arm in ARMS:
             t0 = time.perf_counter()
             try:
                 if arm == "base":
                     tm, _ = train_corpus.load_corpus_model(corpus, name,
                                                            kernel)
                 else:
-                    tm = pipeline.train_gtnmf_fixed_params(
-                        jnp.asarray(y_norm), kernel1=kernel,
-                        N=3, fs=protocol.FS_REFERENCE,
-                        **{k: v for k, v in kw.items()})
-                    tm = tm._replace(normaliser=normaliser)
+                    path = os.path.join(out_dir,
+                                        f"{name}_{kernel}_{arm}.npz")
+                    if not os.path.exists(path):
+                        continue
+                    tm = pipeline.load_trained(path, full=True)
                 val = _gap_snr(tm, y_norm, val_mask)
                 tms[arm] = tm
                 row["arms"][arm] = {
@@ -111,10 +154,10 @@ def run(files, kernel="matern32", corpus="speech", promote=False,
                 }
             except Exception as e:
                 row["arms"][arm] = {"error": f"{type(e).__name__}: {e}"[:200]}
-            print({"file": name, "arm": arm, **row["arms"][arm]},
+            print({"file": name, "arm": arm, **row["arms"].get(arm, {})},
                   file=sys.stderr, flush=True)
         ok = {a: r["val_snr_db"] for a, r in row["arms"].items()
-              if "val_snr_db" in r}
+              if "val_snr_db" in r and np.isfinite(r["val_snr_db"])}
         best = max(ok, key=ok.get)
         row["selected"] = best
         row["test_snr_db_base"] = round(_gap_snr(tms["base"], y_norm,
@@ -146,9 +189,13 @@ def main():
                              "speech7_female", "speech9_female",
                              "speech6_female", "speech0_female"])
     ap.add_argument("--kernel", default="matern32")
+    ap.add_argument("--phase", choices=["train", "eval"], required=True)
     ap.add_argument("--promote", action="store_true")
     args = ap.parse_args()
-    run(files=args.files, kernel=args.kernel, promote=args.promote)
+    if args.phase == "train":
+        train_arms(files=args.files, kernel=args.kernel)
+    else:
+        run(files=args.files, kernel=args.kernel, promote=args.promote)
 
 
 if __name__ == "__main__":

@@ -270,8 +270,12 @@ def giekf_case():
     sn2 = float(params.lik)
     oracle = ref.gf_giekf_modulator_nmf_predict(ssm, W, sn2, y, g_iter=3,
                                                 l_iter=5)
+    # accept_tol < 0: the oracle replicates the reference's keep-every-pass
+    # trajectory; the default NLL acceptance gate (round-5 robustness
+    # feature) may legitimately reject a pass and diverge from it.
     res = giekf_infer(model, params, jnp.asarray(y), None,
-                      GIEKFConfig(g_iter=3, l_iter=5, jitter=0.0))
+                      GIEKFConfig(g_iter=3, l_iter=5, jitter=0.0,
+                                  accept_tol=-1.0))
     e_ref = ref.gf_giekf_modulator_nmf_energy(ssm, W, sn2, y)
     e_jax = float(giekf_energy(model, params, jnp.asarray(y), None,
                                GIEKFConfig()))
