@@ -121,17 +121,20 @@ def run(
         ek["backend"] = "pallas"
         ek["s_chunk"] = 256
         ek["moment_chunk"] = 64
+    # NOTE: on the axon backend block_until_ready can return before the
+    # dispatch finishes; a device->host fetch is the only reliable sync
+    # (see bench.py).
     t0 = time.perf_counter()
     r = ss.separate(models, params, y_test, engine=engine,
                     true_sources=jnp.asarray(parts), n_samples=n_samples,
                     mixture_lik=MIX_LIK, **ek)
-    jax.block_until_ready(r.sources)
+    np.asarray(r.sources)
     sep_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = ss.separate(models, params, y_test, engine=engine,
                     true_sources=jnp.asarray(parts), n_samples=n_samples,
                     mixture_lik=MIX_LIK, **ek)
-    jax.block_until_ready(r.sources)
+    np.asarray(r.sources)
     sep_warm = time.perf_counter() - t0
 
     src = np.asarray(r.sources)
@@ -197,7 +200,7 @@ def main():
               N=args.N, ep_itts=args.itts)
     out = args.out or (
         f"results/source_sep_{args.instrument}"
-        + ("" if args.engine == "ep" else f"_{args.engine}") + ".json"
+        + f"_{args.engine}.json"
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
