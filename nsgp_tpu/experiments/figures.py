@@ -135,9 +135,14 @@ def fig_spectrograms(out_dir, name="speech2_male", kernel="exp",
                    engine="ep", n_samples=50, ep_itts=ep_itts,
                    ep_fraction=0.75, damping=(0.1,))
     T = len(y_norm)
-    y_hat = dn.tv_wiener(tm.model, tm.params, r.result.Eft[:T], y_noisy,
-                         float(noise_var))
     wfit = tm.fit
+    S_stat = dn.stationary_spectrum(kernel, wfit.sigma2,
+                                    wfit.lengthscales(kernel), wfit.omega,
+                                    dtype=y_noisy.dtype)
+    # headline readout: stationary-gain floor kappa = 1.0 (see denoising
+    # driver defaults)
+    y_hat = dn.tv_wiener(tm.model, tm.params, r.result.Eft[:T], y_noisy,
+                         float(noise_var), stat_spec=S_stat, stat_floor=1.0)
     Zw = fb_mod.fft_filterbank(
         wfit.sigma2, wfit.lengthscales(kernel), wfit.omega, y_noisy,
         kernel=kernel, noise=noise_var + float(jnp.maximum(wfit.noise, 1e-6)),

@@ -36,6 +36,17 @@ mitigates by damping 20-sweep runs at a flat 0.0025
 below its own 1-sweep run; a (0.1 ADF, 0.025 re-site) schedule — pass
 ``damping=(0.1, 0.025)`` — is stable (0.5 diverges) and tracks full EP on
 17/20 speech and 16/20 music file-kernel combos of the reference grid.
+
+Round-5 robustness additions (see IHGPConfig fields for the full stories):
+``keep_best`` returns the lowest-EP-energy sweep's posterior (the 20-sweep
+iteration is marginally stable on strongly-harmonic files and f32 noise
+can flip it into divergence); ``pf_correct`` offers the Joseph-consistent
+steady smoothed variance as an analysis variant — measured at grid scale,
+the reference quirk's variance inflation turned out to be load-bearing for
+multi-sweep stability, so no shipped driver enables it.  For multi-sweep
+quality beyond the tuned damping, use the full-EP engine (the fused-Pallas
+path is faster than IHGP on-chip at audio scale: 0.073 vs 0.59 s/sweep at
+T = 100k).
 """
 
 from __future__ import annotations
